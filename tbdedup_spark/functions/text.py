@@ -1,0 +1,225 @@
+"""Text primitives: normalization, shingles, MinHash, SimHash, token stats.
+
+Everything in this module is **pure built-in Spark SQL expressions** — they
+compile to whole-stage-codegen'd JVM code, shuffle nothing by themselves, and
+have exact DuckDB mirrors (used by ``__spark_entry__.oracle_sql``). The
+pandas-UDF MinHash variant (numpy, for very long captions) lives in
+``operators/minhash.py``; this expression path is the default because it keeps
+the entire signature stage JVM-side.
+
+Hash design (shared constants, see ``perm_coeffs``):
+
+* shingle/token base hash: first 15 hex chars of md5 → 60-bit positive int —
+  md5 is available and bit-identical in Spark (``md5``) and DuckDB (``md5``),
+  which is what makes the correctness oracle exact.
+* MinHash permutations: ``(a_j * (h % P) + b_j) % P`` with P = 2^31 - 1
+  (Mersenne prime). ``h % P < 2^31`` and ``a_j < 2^31`` keep the product
+  < 2^62 — no int64 overflow on either engine.
+
+The reference's analog of all of this is the single canonicalized SHA-256
+(tbdedup/mbox/mboxmessage.py:94-117); MinHash/SimHash generalize "one exact
+signature" to "a locality-sensitive family of signatures".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE_P = (1 << 31) - 1
+
+
+def perm_coeffs(n_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for MinHash permutations.
+
+    Plain LCG (constants from Numerical Recipes), not numpy, so the exact
+    integers are trivially embeddable in the DuckDB oracle SQL.
+    """
+    state = seed & 0xFFFFFFFF
+    out = []
+    for _ in range(n_perm):
+        state = (1664525 * state + 1013904223) & 0xFFFFFFFF
+        a = (state % (MERSENNE_P - 1)) + 1  # a in [1, P-1]
+        state = (1664525 * state + 1013904223) & 0xFFFFFFFF
+        b = state % MERSENNE_P  # b in [0, P-1]
+        out.append((a, b))
+    return out
+
+
+def norm_text(col: str) -> Column:
+    """lower + whitespace collapse + trim — the canonicalization step
+    (the analog of the reference's latin1/utf-8 normalization pre-hash,
+    tbdedup/utils/encoder.py:18-28)."""
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), r"\s+", " "))
+
+
+def norm_text_sql(col: str) -> str:
+    """DuckDB mirror of ``norm_text``."""
+    return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+
+
+def shingles(norm_col: str, k: int = 5) -> Column:
+    """Distinct k-char shingles of an already-normalized string column.
+
+    Whole string when shorter than k. Pure expression: sequence + transform +
+    substring, no explode yet — the caller decides when to explode.
+    """
+    return F.expr(
+        f"array_distinct(transform(sequence(0, greatest(length({norm_col}) - {k}, 0)),"
+        f" i -> substring({norm_col}, i + 1, {k})))"
+    )
+
+
+def shingles_sql(norm_expr: str, k: int = 5) -> str:
+    """DuckDB mirror of ``shingles``."""
+    return (
+        f"list_distinct(list_transform(generate_series(0, greatest(length({norm_expr}) - {k}, 0)),"
+        f" i -> substr({norm_expr}, i + 1, {k})))"
+    )
+
+
+def hash60(col: str | Column) -> Column:
+    """60-bit positive int from md5 — the shared base hash."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def minhash_agg_cols(h_col: str, n_perm: int, seed: int = 42) -> list[Column]:
+    """n_perm ``min((a*(h%P)+b)%P)`` aggregate columns over an exploded
+    shingle-hash column — one groupBy pass computes the whole signature
+    (map-side partial aggregation keeps the shuffle narrow)."""
+    p = MERSENNE_P
+    return [
+        F.min(((F.lit(a) * (F.col(h_col) % p) + F.lit(b)) % p)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(perm_coeffs(n_perm, seed))
+    ]
+
+
+def minhash_agg_sql(h_expr: str, n_perm: int, seed: int = 42) -> list[str]:
+    p = MERSENNE_P
+    return [
+        f"min(({a} * (({h_expr}) % {p}) + {b}) % {p}) AS mh{j}"
+        for j, (a, b) in enumerate(perm_coeffs(n_perm, seed))
+    ]
+
+
+# --- SimHash over tokens (W-bit) --------------------------------------------
+
+
+def simhash_bit_sums(h_col: str, width: int = 32) -> list[Column]:
+    """Per-bit +-1 sums of token hashes; aggregate columns for a groupBy."""
+    return [
+        F.sum(
+            F.when((F.shiftright(F.col(h_col), b).bitwiseAND(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(width)
+    ]
+
+
+def simhash_assemble(width: int = 32) -> Column:
+    """Fold s0..s{W-1} sums into the W-bit SimHash value."""
+    expr = None
+    for b in range(width):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        expr = term if expr is None else expr + term
+    return expr
+
+
+def simhash_sql(width: int = 32) -> tuple[list[str], str]:
+    """DuckDB mirrors: (bit-sum aggregate exprs, assemble expr)."""
+    sums = [
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(width)
+    ]
+    assemble = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)" for b in range(width)
+    )
+    return sums, assemble
+
+
+# --- text-analysis extras (all built-in expressions) -------------------------
+
+STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that with for on "
+    "as at by from not"
+).split()
+
+
+def token_count(col: str) -> Column:
+    """Whitespace token count (0 for empty)."""
+    n = norm_text(col)
+    return F.when(F.length(n) == 0, 0).otherwise(F.size(F.split(n, " "))).cast("long")
+
+
+def bpe_ish_token_count(col: str) -> Column:
+    """BPE-ish subword proxy: count alternating letter/digit/punct runs.
+
+    regexp: words, numbers, or single non-space symbols — a deterministic
+    approximation of tokenizer segment counts, good enough for length-based
+    corpus filtering at scale."""
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)).cast("long")
+
+
+def quality_features(col: str) -> dict[str, Column]:
+    """Length / punctuation-ratio / stopword-ratio features for corpus QC."""
+    n = norm_text(col)
+    toks = F.split(n, " ")
+    n_tok = F.size(toks).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return {
+        "n_chars_norm": F.length(n).cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "mean_token_len": (F.length(F.concat_ws("", toks)) / F.greatest(n_tok, F.lit(1.0))),
+        "punct_ratio": (
+            F.length(F.regexp_replace(n, r"[a-z0-9\s]", "")) / F.greatest(F.length(n).cast("double"), F.lit(1.0))
+        ),
+        "stopword_ratio": (
+            F.size(F.array_intersect(F.array_distinct(toks), stop_arr)).cast("double")
+            / F.greatest(F.size(F.array_distinct(toks)).cast("double"), F.lit(1.0))
+        ),
+    }
+
+
+def lang_id_heuristic(col: str) -> Column:
+    """Deterministic n-gram-frequency language guess (en/de/es/fr/other).
+
+    A real model is out of scope (no ML libs); this is the standard
+    stopword-evidence heuristic expressed as pure SQL so it runs JVM-side at
+    scale and is oracle-checkable. Scores = number of language-marker tokens.
+    """
+    n = norm_text(col)
+    toks = F.array_distinct(F.split(n, " "))
+    markers = {
+        "en": ["the", "and", "of", "to", "is"],
+        "de": ["der", "die", "und", "ist", "nicht"],
+        "es": ["el", "la", "los", "que", "es"],
+        "fr": ["le", "la", "les", "est", "une"],
+    }
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in markers.items()
+    }
+    best = F.greatest(*scores.values())
+    out = F.when(best <= 0, "other")
+    for lang in ("de", "en", "es", "fr"):  # deterministic tie-break: alpha order
+        out = out.when(scores[lang] == best, lang)
+    return out.otherwise("other")
+
+
+def fingerprint(src_col: str, k: int = 8) -> Column:
+    """Document fingerprint: bottom-1 sketch = min 60-bit hash over k-shingles.
+
+    The 1-permutation degenerate of MinHash; stable under whitespace noise,
+    ideal as a cheap pre-cluster key at scale (winnowing's little sibling).
+    """
+    n = f"trim(regexp_replace(lower({src_col}), '\\\\s+', ' '))"
+    return F.expr(
+        "array_min(transform("
+        f" array_distinct(transform(sequence(0, greatest(length({n}) - {k}, 0)),"
+        f"   i -> substring({n}, i + 1, {k}))),"
+        "  s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)))"
+    )

@@ -1,0 +1,145 @@
+"""Detector 1 — caption-shingle MinHash with LSH banding.
+
+Generalizes the reference's single canonical hash (tbdedup/mbox/
+mboxmessage.py:94-117) to a locality-sensitive family; the band-key groupBy
+is the direct analog of the reference's preplanner grouping on a derived key
+(path suffix, tbdedup/planner/walk.py:100-125 — its disk-folder "LSH").
+
+Plan shape (all built-in expressions — see functions/text.py for why this
+beats a numpy UDF here: md5+min aggregation is pure codegen, and the same
+formulas run on DuckDB for the correctness oracle):
+
+    images ──select──> (id, norm)                       [no shuffle]
+      └─explode shingles─> (id, shingle)                [no shuffle]
+        └─md5/60-bit/perm─> groupBy(id).agg(min×n)      [shuffle 1: by id]
+          └─explode bands─> (band_idx, band_key, id)    [no shuffle]
+            └─self-join on (band_idx, band_key)         [shuffle 2: by band]
+              └─Jaccard verify join (shingle arrays)    [shuffle 3: by id]
+
+Skew handling (north_rule requirement): a degenerate band key (e.g. every
+caption sharing a stop-phrase) creates a quadratic bucket. ``max_bucket``
+caps explosion — buckets larger than the cap are *dropped and counted*
+(the honest trade: at web scale a universal bucket is a stop-word bucket;
+its pairs are recovered by the other detectors or a higher-r config). AQE
+skew-join splitting handles residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+    k: int = 5,
+    n_perm: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, mh0..mh{n-1}, shingles) — one explode + one groupBy(id)."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        text.norm_text(text_col).alias("_norm"),
+    ).withColumn("_shingles", text.shingles("_norm", k))
+    exploded = base.select("_id", F.explode("_shingles").alias("_sh")).withColumn(
+        "_h", text.hash60("_sh")
+    )
+    sig = exploded.groupBy("_id").agg(*text.minhash_agg_cols("_h", n_perm, seed))
+    # carry the shingle array for the verify step (joined back by id, narrow)
+    return sig.join(base.select("_id", "_shingles"), "_id")
+
+
+def band_keys(
+    sigs: DataFrame, n_perm: int = 16, n_bands: int = 8
+) -> DataFrame:
+    """(id, band_idx, band_key): concat r=n_perm/n_bands minhashes per band."""
+    r = n_perm // n_bands
+    assert r * n_bands == n_perm, "n_perm must be divisible by n_bands"
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("band_idx"),
+                F.concat_ws("-", *[F.col(f"mh{t * r + j}") for j in range(r)]).alias(
+                    "band_key"
+                ),
+            )
+            for t in range(n_bands)
+        ]
+    )
+    return sigs.select("_id", F.explode(bands).alias("b")).select(
+        "_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def candidate_pairs(
+    banded: DataFrame, max_bucket: int | None = 64
+) -> tuple[DataFrame, DataFrame]:
+    """Self-join per (band_idx, band_key); returns (pairs, dropped_buckets).
+
+    ``dropped_buckets`` is the honest-accounting relation: (band_idx,
+    band_key, bucket_size) for buckets over the cap — logged to metrics so
+    dropped candidate mass is visible (north_rule: size-capped bucket
+    explosion, reported, never silent).
+    """
+    w = Window.partitionBy("band_idx", "band_key")
+    sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    dropped = (
+        sized.filter(F.col("_bsz") > max_bucket)
+        .groupBy("band_idx", "band_key")
+        .agg(F.max("_bsz").alias("bucket_size"))
+        if max_bucket
+        else sized.limit(0).groupBy("band_idx", "band_key").agg(F.max("_bsz").alias("bucket_size"))
+    )
+    kept = sized.filter(F.col("_bsz") <= max_bucket) if max_bucket else sized
+    a = kept.select(F.col("_id").alias("a_id"), "band_idx", "band_key")
+    b = kept.select(F.col("_id").alias("b_id"), "band_idx", "band_key")
+    pairs = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return pairs, dropped
+
+
+def verify_jaccard(
+    pairs: DataFrame, sigs: DataFrame, tau: float = 0.6
+) -> DataFrame:
+    """Exact Jaccard on the carried shingle arrays (built-in array ops), the
+    analog of the reference's verify-before-write (tbdedup/dedup/__init__.py:
+    142-151): candidates are *checked*, never trusted. Two narrow joins."""
+    sh = sigs.select(F.col("_id"), F.col("_shingles"))
+    out = (
+        pairs.join(sh.select(F.col("_id").alias("a_id"), F.col("_shingles").alias("_sha")), "a_id")
+        .join(sh.select(F.col("_id").alias("b_id"), F.col("_shingles").alias("_shb")), "b_id")
+        .withColumn(
+            "score",
+            F.size(F.array_intersect("_sha", "_shb"))
+            / F.size(F.array_union("_sha", "_shb")).cast("double"),
+        )
+        .filter(F.col("score") >= tau)
+        .select("a_id", "b_id", F.lit("minhash").alias("detector"), "score")
+    )
+    return out
+
+
+def minhash_pairs(
+    df: DataFrame,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+    k: int = 5,
+    n_perm: int = 16,
+    n_bands: int = 8,
+    tau: float = 0.6,
+    seed: int = 42,
+    max_bucket: int | None = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end detector: (verified pairs PAIRS-schema, dropped buckets)."""
+    sigs = minhash_signatures(df, id_col, text_col, k, n_perm, seed)
+    banded = band_keys(sigs, n_perm, n_bands)
+    cand, dropped = candidate_pairs(banded, max_bucket)
+    return verify_jaccard(cand, sigs, tau), dropped

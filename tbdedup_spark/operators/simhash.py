@@ -1,0 +1,101 @@
+"""Detector 2 — Hamming-distance bucketing over 64-bit signatures (phash).
+
+Pigeonhole banding: split a 64-bit signature into B bands of 64/B bits; two
+signatures within Hamming distance d < B collide on at least one band. The
+band-key self-join is the Spark re-expression of "group by derived key"
+(the reference's preplanner suffix grouping, tbdedup/planner/walk.py:100-125);
+the exact-Hamming residual filter is a single built-in ``bit_count(a ^ b)``.
+
+Zero UDFs, two shuffles (band explode join + pair dedup). Works on any long
+column: images use the precomputed ``phash`` (input_hint), documents use a
+text SimHash assembled by ``text_simhash``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text
+
+
+def hamming_bands(
+    df: DataFrame, id_col: str = "image_id", sig_col: str = "phash",
+    n_bands: int = 8, width: int = 64,
+) -> DataFrame:
+    """(id, sig, band_idx, band_bits). Arithmetic shift + mask is sign-safe."""
+    bits_per = width // n_bands
+    mask = (1 << bits_per) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("band_idx"),
+                F.shiftright(F.col(sig_col), t * bits_per).bitwiseAND(mask).alias("band_bits"),
+            )
+            for t in range(n_bands)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"), F.explode(bands).alias("b")
+    ).select("_id", "_sig", "b.band_idx", "b.band_bits")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "image_id",
+    sig_col: str = "phash",
+    max_hamming: int = 7,
+    n_bands: int = 8,
+    width: int = 64,
+    max_bucket: int | None = 1024,
+    detector_name: str = "simhash",
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, dropped_buckets). Completeness: guaranteed for
+    max_hamming <= n_bands - 1 (pigeonhole); the residual filter enforces the
+    exact bound either way. Hot buckets (e.g. flat images all hashing to 0)
+    are size-capped and reported, as in minhash.candidate_pairs."""
+    assert max_hamming < n_bands, "pigeonhole completeness needs d < B"
+    banded = hamming_bands(df, id_col, sig_col, n_bands, width)
+    w = Window.partitionBy("band_idx", "band_bits")
+    sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    dropped = (
+        sized.filter(F.col("_bsz") > max_bucket)
+        .groupBy("band_idx", "band_bits")
+        .agg(F.max("_bsz").alias("bucket_size"))
+        if max_bucket
+        else sized.limit(0).groupBy("band_idx", "band_bits").agg(F.max("_bsz").alias("bucket_size"))
+    )
+    kept = sized.filter(F.col("_bsz") <= max_bucket) if max_bucket else sized
+    a = kept.select(F.col("_id").alias("a_id"), F.col("_sig").alias("_siga"), "band_idx", "band_bits")
+    b = kept.select(F.col("_id").alias("b_id"), F.col("_sig").alias("_sigb"), "band_idx", "band_bits")
+    pairs = (
+        a.join(b, ["band_idx", "band_bits"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("_ham", F.bit_count(F.col("_siga").bitwiseXOR(F.col("_sigb"))))
+        .filter(F.col("_ham") <= max_hamming)
+        .select(
+            "a_id",
+            "b_id",
+            F.lit(detector_name).alias("detector"),
+            (F.lit(1.0) - F.col("_ham") / F.lit(float(width))).alias("score"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return pairs, dropped
+
+
+def text_simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", width: int = 32,
+) -> DataFrame:
+    """(id, simhash) from token-level md5 bit votes — built-ins only.
+
+    One explode over tokens + one groupBy(id) with W conditional-sum
+    aggregates (map-side combined). Mirrors exactly in DuckDB
+    (functions/text.simhash_sql) for the oracle.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(text.norm_text(text_col), " ")).alias("_tok"),
+    ).withColumn("_h", text.hash60("_tok"))
+    sums = toks.groupBy("_id").agg(*text.simhash_bit_sums("_h", width))
+    return sums.select("_id", text.simhash_assemble(width).alias("simhash"))

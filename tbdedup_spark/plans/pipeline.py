@@ -1,0 +1,142 @@
+"""The flagship pipeline: images → signatures → 3 detectors → union-find →
+verified clusters, every stage checkpointed + lineage-logged.
+
+Stage map (SURVEY §3 "our lifecycle"):
+
+  A ingest/signatures   exact.signatures        (1 Python decode stage)
+  B detector: exact     exact.exact_pairs       (1 shuffle on sig)
+  C detector: minhash   minhash.minhash_pairs   (explode + groupBy + band join)
+  D detector: simhash   simhash.simhash_pairs   (band join on phash)
+  E detector: substr    substr.containment_pairs(index join + contains)
+  F union of edges      unionByName + dropDuplicates
+  G union-find          unionfind.connected_components (driver loop)
+  H verify + quarantine verify.verify_members   (only stage re-touching bytes)
+
+Each stage writes a parquet table under the run's warehouse dir and a lineage
+row; re-running the same config resumes after the last completed stage —
+the generalization of the reference's plan documents
+(tbdedup/combinatory/__init__.py:83-265), which recorded the same facts but
+could not skip completed work.
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import exact, minhash, simhash, substr, unionfind, verify
+from ..sources.catalog import Catalog, config_run_id
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """The reference config surface (tbdedup/cmd/__init__.py:37-188)
+    generalized: hash_source picks canonical vs disk signature
+    (--msg-hash-source, :71-77); the rest parameterize the detectors."""
+
+    hash_source: str = "canonical"  # or "disk"
+    shingle_k: int = 5
+    n_perm: int = 16
+    n_bands: int = 8
+    jaccard_tau: float = 0.6
+    phash_bands: int = 8
+    phash_max_hamming: int = 7
+    minhash_max_bucket: int = 256
+    simhash_max_bucket: int = 1024
+    min_psnr_db: float = 40.0
+    seed: int = 42
+
+
+def run_pipeline(
+    spark: SparkSession,
+    images: DataFrame,
+    warehouse: str,
+    config: DedupConfig = DedupConfig(),
+) -> dict[str, DataFrame]:
+    """Returns {signatures, pairs, clusters, quarantine, lineage, metrics}."""
+    cfg = asdict(config)
+    cat = Catalog(spark, warehouse, config_run_id(cfg))
+
+    sigs = cat.stage(
+        "signatures",
+        lambda: exact.signatures(images, include_canonical=(config.hash_source == "canonical")),
+        input_ref="images",
+    )
+
+    # O9 sanity pair — metrics, with the reference's divergence warning
+    sanity = exact.dual_hash_sanity(sigs).collect()[0]
+    cat.log_metric("signatures", "unique_canonical", sanity.unique_canonical)
+    cat.log_metric("signatures", "unique_disk", sanity.unique_disk)
+    if sanity.counts_diverge:
+        cat.log_metric("signatures", "dual_hash_counts_diverge", 1.0)
+
+    exact_p = cat.stage("pairs_exact", lambda: exact.exact_pairs(sigs), "signatures")
+
+    def _mh():
+        pairs, dropped = minhash.minhash_pairs(
+            sigs, "image_id", "caption",
+            k=config.shingle_k, n_perm=config.n_perm, n_bands=config.n_bands,
+            tau=config.jaccard_tau, seed=config.seed,
+            max_bucket=config.minhash_max_bucket,
+        )
+        n_dropped = dropped.count()
+        cat.log_metric("pairs_minhash", "dropped_buckets", n_dropped)
+        return pairs
+
+    mh_p = cat.stage("pairs_minhash", _mh, "signatures")
+
+    def _sh():
+        pairs, dropped = simhash.simhash_pairs(
+            sigs, "image_id", "phash",
+            max_hamming=config.phash_max_hamming, n_bands=config.phash_bands,
+            max_bucket=config.simhash_max_bucket,
+        )
+        cat.log_metric("pairs_simhash", "dropped_buckets", dropped.count())
+        return pairs
+
+    sh_p = cat.stage("pairs_simhash", _sh, "signatures")
+
+    sub_p = cat.stage(
+        "pairs_substr",
+        lambda: substr.containment_pairs(sigs, "image_id", "caption", k=config.shingle_k),
+        "signatures",
+    )
+
+    pairs = cat.stage(
+        "pairs_all",
+        lambda: exact_p.unionByName(mh_p).unionByName(sh_p).unionByName(sub_p)
+        .dropDuplicates(["a_id", "b_id", "detector"]),
+        "pairs_*",
+    )
+    for det in ("exact", "minhash", "simhash", "substr"):
+        cat.log_metric("pairs_all", f"pairs_{det}", pairs.filter(F.col("detector") == det).count())
+
+    clusters = cat.stage(
+        "clusters",
+        lambda: unionfind.with_representatives(
+            unionfind.connected_components(
+                sigs.select("image_id"), pairs.select("a_id", "b_id")
+            )
+        ),
+        "pairs_all",
+    )
+
+    def _verify():
+        ok, quarantined = verify.verify_members(clusters, images, config.min_psnr_db)
+        cat.write(quarantined, "quarantine")
+        cat.log_metric("verify", "quarantined", quarantined.count())
+        return ok
+
+    verified = cat.stage("clusters_verified", _verify, "clusters")
+
+    return {
+        "signatures": sigs,
+        "pairs": pairs,
+        "clusters": verified,
+        "quarantine": cat.read("quarantine") if cat.exists("quarantine") else None,
+        "lineage": cat.lineage(),
+        "metrics": cat.metrics(),
+        "run_id": cat.run_id,
+    }

@@ -1,0 +1,231 @@
+"""Deterministic synthetic image+caption corpus with planted duplicates.
+
+Blueprint: the reference's test corpus generator, which synthesizes emails
+with deterministic structure and planted duplicate classes
+(reference: tests/base.py:144-416, GenerateMboxFile tests/base.py:361-416).
+Shapes follow FIXTURES.md: F1 ``images`` (exact input_hint schema),
+F2 ``golden_clusters`` (trusted single-node oracle), F3 ``golden_pairs``,
+F4 ``mbox_semantics`` (metadata-only-difference canonicalization fixture).
+
+Everything is seeded numpy ``default_rng`` — no wall-clock, no ``random``
+module (the reference's timestamped output names, tbdedup/planner/output.py:
+26-78, are exactly what we must NOT do inside deterministic generation).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import codecs
+
+VOCAB = (
+    "sun moon river stone cloud forest ember quartz falcon harbor meadow "
+    "lantern orchid copper velvet thunder willow saffron marble juniper "
+    "crystal canyon breeze summit prairie drift cascade horizon pebble fern"
+).split()
+
+DUP_CLASSES = ("exact", "reencode", "perturb", "paraphrase", "contain", "distinct")
+
+
+@dataclass
+class Row:
+    image_id: str
+    data: bytes
+    w: int
+    h: int
+    fmt: str
+    caption: str
+    phash: int
+    # oracle-only bookkeeping (not part of the F1 schema)
+    dup_class: str = "base"
+    base_id: str = ""
+    pixels: np.ndarray | None = field(default=None, repr=False)
+
+
+def _base_pixels(rng: np.random.Generator) -> np.ndarray:
+    """Procedural image: seeded gradient + random rectangles. Sizes from
+    {64, 96, 128}^2 per FIXTURES.md."""
+    w = int(rng.choice([64, 96, 128]))
+    h = int(rng.choice([64, 96, 128]))
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack(
+        [
+            (xx * rng.integers(1, 4) + yy * rng.integers(0, 3)) % 256,
+            (yy * rng.integers(1, 4) + int(rng.integers(0, 256))) % 256,
+            ((xx + yy) * rng.integers(1, 3) + int(rng.integers(0, 256))) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    for _ in range(int(rng.integers(2, 6))):
+        x0, y0 = int(rng.integers(0, w - 8)), int(rng.integers(0, h - 8))
+        rw, rh = int(rng.integers(8, w - x0)), int(rng.integers(8, h - y0))
+        base[y0 : y0 + rh, x0 : x0 + rw] = rng.integers(0, 256, 3, dtype=np.uint8)
+    return base
+
+
+def _caption(rng: np.random.Generator) -> str:
+    n = int(rng.integers(8, 25))
+    return " ".join(VOCAB[int(i)] for i in rng.integers(0, len(VOCAB), n))
+
+
+def _perturb(pixels: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Nudge <=1% of pixels by +-2 (PSNR >= 40 dB per FIXTURES.md)."""
+    out = pixels.astype(np.int16).copy()
+    h, w, _ = out.shape
+    n = max(1, int(0.01 * h * w))
+    ys = rng.integers(0, h, n)
+    xs = rng.integers(0, w, n)
+    out[ys, xs] += rng.choice([-2, 2], (n, 3)).astype(np.int16)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _paraphrase(caption: str, rng: np.random.Generator) -> str:
+    toks = caption.split()
+    for _ in range(int(rng.integers(1, 3))):
+        toks[int(rng.integers(0, len(toks)))] = VOCAB[int(rng.integers(0, len(VOCAB)))]
+    return " ".join(toks)
+
+
+def generate_corpus(n_bases: int = 200, seed: int = 42) -> list[Row]:
+    """``n_bases`` base rows, each with 0-3 planted derivatives (FIXTURES F1)."""
+    rng = np.random.default_rng(seed)
+    rows: list[Row] = []
+    counter = 0
+
+    def make_id() -> str:
+        nonlocal counter
+        counter += 1
+        return f"img{counter - 1:012d}"
+
+    for _ in range(n_bases):
+        px = _base_pixels(rng)
+        cap = _caption(rng)
+        fmt = "png" if rng.random() < 0.7 else "jpeg"
+        if fmt == "png":
+            data = codecs.encode_png(px)
+            stored_px = px
+        else:
+            data = codecs.encode_fake_jpeg(px)
+            stored_px = codecs.decode_fake_jpeg(data)  # lossy: stored != source
+        base_id = make_id()
+        h, w, _ = px.shape
+        rows.append(
+            Row(base_id, data, w, h, fmt, cap, codecs.phash64(stored_px), "base", base_id, stored_px)
+        )
+
+        n_deriv = int(rng.integers(0, 4))
+        classes = rng.choice(DUP_CLASSES, n_deriv)
+        for cls in classes:
+            did = make_id()
+            if cls == "exact":
+                rows.append(Row(did, data, w, h, fmt, cap, codecs.phash64(stored_px), "exact", base_id, stored_px))
+            elif cls == "reencode":
+                # same source pixels, lossy re-encode (PNG -> fake JPEG)
+                d2 = codecs.encode_fake_jpeg(stored_px)
+                px2 = codecs.decode_fake_jpeg(d2)
+                rows.append(Row(did, d2, w, h, "jpeg", cap, codecs.phash64(px2), "reencode", base_id, px2))
+            elif cls == "perturb":
+                px2 = _perturb(stored_px, rng)
+                d2 = codecs.encode_png(px2)
+                rows.append(Row(did, d2, w, h, "png", cap, codecs.phash64(px2), "perturb", base_id, px2))
+            elif cls == "paraphrase":
+                cap2 = _paraphrase(cap, rng)
+                rows.append(Row(did, data, w, h, fmt, cap2, codecs.phash64(stored_px), "paraphrase", base_id, stored_px))
+            elif cls == "contain":
+                cap2 = cap + " " + _caption(rng)
+                rows.append(Row(did, data, w, h, fmt, cap2, codecs.phash64(stored_px), "contain", base_id, stored_px))
+            else:  # distinct — unrelated negative control
+                px2 = _base_pixels(rng)
+                cap2 = _caption(rng)
+                d2 = codecs.encode_png(px2)
+                h2, w2, _ = px2.shape
+                rows.append(Row(did, d2, w2, h2, "png", cap2, codecs.phash64(px2), "distinct", did, px2))
+    return rows
+
+
+def metadata_variant(row: Row, key: str = "Software", value: str = "tbdedup_spark") -> Row:
+    """F4: same pixels, different PNG tEXt chunk — canonical sig must match,
+    disk sig must differ (the X-Mozilla-* header analog,
+    tbdedup/mbox/mboxmessage.py:37-43)."""
+    assert row.fmt == "png"
+    px = codecs.decode_png(row.data)[0]
+    d2 = codecs.encode_png(px, {key: value})
+    return Row(row.image_id + "_meta", d2, row.w, row.h, "png", row.caption, row.phash, "exact", row.base_id, px)
+
+
+# --- trusted single-node oracle (FIXTURES F2/F3) ----------------------------
+
+
+def shingles(text: str, k: int = 5) -> set[str]:
+    t = " ".join(text.lower().split())
+    if len(t) < k:
+        return {t}
+    return {t[i : i + k] for i in range(len(t) - k + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def golden_pairs(
+    rows: list[Row],
+    jaccard_tau: float = 0.6,
+    hamming_d: int = 8,
+    shingle_k: int = 5,
+) -> list[tuple[str, str, str, float]]:
+    """Brute-force O(n^2) duplicate pairs — the trusted oracle, mirroring how
+    the reference's tests independently re-implement the hash semantics
+    (tests/mbox/test_message.py:178-229). Returns (a_id, b_id, detector, score)
+    with a_id < b_id; one row per detector that fires."""
+    sh = {r.image_id: shingles(r.caption, shingle_k) for r in rows}
+    canon = {r.image_id: codecs.canonical_pixel_bytes(r.data) for r in rows}
+    out = []
+    srt = sorted(rows, key=lambda r: r.image_id)
+    for i, a in enumerate(srt):
+        for b in srt[i + 1 :]:
+            if canon[a.image_id] == canon[b.image_id] and a.caption == b.caption:
+                out.append((a.image_id, b.image_id, "exact", 1.0))
+            j = jaccard(sh[a.image_id], sh[b.image_id])
+            if j >= jaccard_tau:
+                out.append((a.image_id, b.image_id, "minhash", j))
+            hd = hamming64(a.phash, b.phash)
+            if hd <= hamming_d:
+                out.append((a.image_id, b.image_id, "simhash", 1.0 - hd / 64.0))
+            ca = " ".join(a.caption.lower().split())
+            cb = " ".join(b.caption.lower().split())
+            if ca != cb and (ca in cb or cb in ca):
+                out.append((a.image_id, b.image_id, "substr", 1.0))
+    return out
+
+
+def golden_clusters(rows: list[Row], pairs: list[tuple[str, str, str, float]]) -> dict[str, str]:
+    """Union-find over oracle pairs; cluster_id = min image_id (smallest-id
+    rule — the deterministic refinement of 'take the first entry',
+    tbdedup/dedup/__init__.py:156-157)."""
+    parent: dict[str, str] = {r.image_id: r.image_id for r in rows}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _, _ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {r.image_id: find(r.image_id) for r in rows}
+
+
+def to_spark_rows(rows: list[Row]) -> list[tuple]:
+    """F1 tuples in IMAGES schema order."""
+    return [(r.image_id, r.data, r.w, r.h, r.fmt, r.caption, r.phash) for r in rows]
