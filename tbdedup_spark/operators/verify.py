@@ -26,8 +26,7 @@ from pyspark.sql.functions import pandas_udf
 from .. import codecs
 
 
-@pandas_udf("double")
-def _psnr_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+def _psnr_fn(a: pd.Series, b: pd.Series) -> pd.Series:
     out = []
     for x, y in zip(a, b):
         try:
@@ -37,6 +36,17 @@ def _psnr_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         except Exception:
             out.append(0.0)
     return pd.Series(out)
+
+
+_psnr_cached = None
+
+
+def _psnr_udf(a, b):
+    # pandas_udf registration needs an active session → create lazily
+    global _psnr_cached
+    if _psnr_cached is None:
+        _psnr_cached = pandas_udf(_psnr_fn, "double")
+    return _psnr_cached(a, b)
 
 
 def verify_members(
