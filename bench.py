@@ -1,0 +1,83 @@
+"""Headline benchmark — one JSON line for the driver.
+
+Runs the flagship dedup/detector/relational queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``. Each query is fully materialized through the
+``noop`` sink (all compute, no write cost). Prints exactly one JSON line:
+
+  {"metric": "bench_total_sec", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": 0.1}
+
+The two-parallelism scaling evidence (local[8] vs local[32], images/sec,
+efficiency >= 0.8) is the separate harness BENCH/scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from tbdedup_spark.session import get_spark
+
+# The headline set: the dedup core + detectors + representative relational ops.
+BENCH_QUERIES = [
+    "exact_dedup_representatives",
+    "minhash_lsh_pairs",
+    "simhash_hamming_pairs",
+    "substr_containment_pairs",
+    "dedup_clusters",
+    "ngram_jaccard_pairs",
+    "doc_fingerprint",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "group_agg",
+    "topk_per_group",
+    "broadcast_join_agg",
+    "sessionize",
+]
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("tbdedup_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    queries = entry_mod.queries()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        materialize(queries[name](spark, sf_dir))
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
