@@ -1,0 +1,102 @@
+"""Two-parallelism scaling evidence (the north_rule's N vs 4N criterion).
+
+No multi-node cluster exists in this sandbox, so per the driver instruction
+the same job runs on the same input at local[8] and local[32] (8 vs 32 cores
+= N vs 4N executors), each in a fresh process/JVM, and we report images/sec
+at both plus scaling efficiency = (throughput_32 / throughput_8) / 4,
+target >= 0.8. Results -> BENCH/BASELINE.md + BENCH/scaling.json.
+
+The corpus is generated once (distributed, deterministic — synth_dist) and
+reused by both runs; identical seed/config/shuffle-partitions-per-core.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BENCH_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def ensure_corpus(n_bases: int) -> str:
+    path = os.path.join(BENCH_DIR, "data", f"images_{n_bases}.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from tbdedup_spark.session import get_spark
+    from tbdedup_spark.synth_dist import images_distributed
+
+    spark = get_spark("scaling_gen", master="local[32]", shuffle_partitions=32)
+    t0 = time.time()
+    images_distributed(spark, n_bases, partitions=128).write.mode("overwrite").parquet(path)
+    n = spark.read.parquet(path).count()
+    print(f"generated corpus: {n} rows in {time.time() - t0:.1f}s -> {path}")
+    spark.stop()
+    return path
+
+
+def run_level(cpus: int, corpus: str, tag: str) -> dict:
+    wh = os.path.join(BENCH_DIR, "wh", f"{tag}_{cpus}")
+    shutil.rmtree(wh, ignore_errors=True)
+    out = subprocess.run(
+        [sys.executable, os.path.join(BENCH_DIR, "scaling_run.py"),
+         "--cpus", str(cpus), "--input", corpus, "--warehouse", wh],
+        capture_output=True, text=True, check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_bases = int(os.environ.get("SCALE_N_BASES", "20000"))
+    corpus = ensure_corpus(n_bases)
+    r8 = run_level(8, corpus, f"b{n_bases}")
+    print("local[8]:", r8)
+    r32 = run_level(32, corpus, f"b{n_bases}")
+    print("local[32]:", r32)
+
+    eff = (r32["images_per_sec"] / r8["images_per_sec"]) / 4.0
+    result = {
+        "n_bases": n_bases,
+        "rows": r8["rows"],
+        "local8": r8,
+        "local32": r32,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    with open(os.path.join(BENCH_DIR, "scaling.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+    md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
+
+The north_rule requires throughput scaling efficiency >= 0.8 between N and 4N
+executors. No real cluster exists in this sandbox; per the driver instruction
+the same pipeline ran on the same input at two parallelism levels, fresh
+JVM each, identical seed/config/shuffle-partitions-per-core:
+
+| level | cores | rows | wall (s) | images/sec |
+|---|---|---|---|---|
+| N  | 8  | {r8['rows']} | {r8['wall_s']} | {r8['images_per_sec']} |
+| 4N | 32 | {r32['rows']} | {r32['wall_s']} | {r32['images_per_sec']} |
+
+**Scaling efficiency = (throughput_32 / throughput_8) / 4 =
+{result['scaling_efficiency']}** (target >= 0.8: {"PASS" if result['pass'] else "FAIL"})
+
+Clusters found: {r32['n_clusters']} (identical at both levels:
+{r8['n_clusters'] == r32['n_clusters']}). The job is the full pipeline
+(signatures incl. pixel decode, 4 detectors, union-find, PSNR verify,
+checkpointed stages + lineage), not a cherry-picked parallel stage.
+"""
+    with open(os.path.join(BENCH_DIR, "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -86,7 +86,10 @@ def candidate_pairs(
     explosion, reported, never silent).
     """
     w = Window.partitionBy("band_idx", "band_key")
-    sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    # materialize once: both the kept-bucket self-join and the dropped-bucket
+    # report derive from this relation — without the checkpoint the whole
+    # upstream signature DAG re-executes per consumer
+    sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(w)).localCheckpoint()
     dropped = (
         sized.filter(F.col("_bsz") > max_bucket)
         .groupBy("band_idx", "band_key")
@@ -137,9 +140,18 @@ def minhash_pairs(
     tau: float = 0.6,
     seed: int = 42,
     max_bucket: int | None = 64,
+    checkpoint: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
-    """End-to-end detector: (verified pairs PAIRS-schema, dropped buckets)."""
+    """End-to-end detector: (verified pairs PAIRS-schema, dropped buckets).
+
+    ``checkpoint`` materializes the signature relation once — it feeds three
+    consumers (banding, and both sides of the Jaccard verify join); without
+    it the explode+groupBy DAG re-executes per consumer. On a real cluster
+    this is the stage-B Iceberg table (plans/pipeline.py writes it there).
+    """
     sigs = minhash_signatures(df, id_col, text_col, k, n_perm, seed)
+    if checkpoint:
+        sigs = sigs.localCheckpoint()
     banded = band_keys(sigs, n_perm, n_bands)
     cand, dropped = candidate_pairs(banded, max_bucket)
     return verify_jaccard(cand, sigs, tau), dropped

@@ -57,7 +57,9 @@ def simhash_pairs(
     assert max_hamming < n_bands, "pigeonhole completeness needs d < B"
     banded = hamming_bands(df, id_col, sig_col, n_bands, width)
     w = Window.partitionBy("band_idx", "band_bits")
-    sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    # one materialization feeds both self-join sides + the dropped report
+    # (and cuts off any expensive upstream, e.g. text_simhash's aggregation)
+    sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(w)).localCheckpoint()
     dropped = (
         sized.filter(F.col("_bsz") > max_bucket)
         .groupBy("band_idx", "band_bits")

@@ -49,13 +49,15 @@ def _psnr_udf(a, b):
     return _psnr_cached(a, b)
 
 
-def verify_members(
+def check_members(
     clusters: DataFrame,
     images: DataFrame,
     min_psnr_db: float = 40.0,
     caption_tau: float = 0.5,
-) -> tuple[DataFrame, DataFrame]:
-    """Returns (verified CLUSTERS rows, QUARANTINE rows).
+) -> DataFrame:
+    """The expensive half: one pass computing per-member invariants
+    (psnr_db, cap_sim, cap_contain, ok) vs the representative. Narrow output —
+    pipeline checkpoints it so verified/quarantine splits don't re-decode.
 
     ``clusters``: (image_id, cluster_id, is_representative);
     ``images``: full IMAGES table. Representative rows pass by definition.
@@ -87,14 +89,40 @@ def verify_members(
         F.col("_mc").contains(F.col("_rc")) | F.col("_rc").contains(F.col("_mc")),
     )
     ok = (F.col("_psnr") >= min_psnr_db) | (F.col("_cap_sim") >= caption_tau) | F.col("_cap_contain")
-    verified = checked.filter(ok).select("image_id", "cluster_id", F.lit(False).alias("is_representative"))
-    quarantined = checked.filter(~ok).select(
+    return checked.select(
+        "image_id",
+        "cluster_id",
+        F.round("_psnr", 2).alias("psnr_db"),
+        F.round("_cap_sim", 3).alias("cap_sim"),
+        F.col("_cap_contain").alias("cap_contain"),
+        ok.alias("ok"),
+    )
+
+
+def split_verified(clusters: DataFrame, checked: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(verified CLUSTERS rows, QUARANTINE rows) from a materialized
+    ``check_members`` output — the cheap half."""
+    verified = checked.filter("ok").select(
+        "image_id", "cluster_id", F.lit(False).alias("is_representative")
+    )
+    quarantined = checked.filter(~F.col("ok")).select(
         "image_id",
         "cluster_id",
         F.concat(
-            F.lit("psnr="), F.round("_psnr", 2).cast("string"),
-            F.lit(" cap_sim="), F.round("_cap_sim", 3).cast("string"),
+            F.lit("psnr="), F.col("psnr_db").cast("string"),
+            F.lit(" cap_sim="), F.col("cap_sim").cast("string"),
         ).alias("reason"),
     )
     reps_rows = clusters.filter(F.col("is_representative"))
     return reps_rows.unionByName(verified), quarantined
+
+
+def verify_members(
+    clusters: DataFrame,
+    images: DataFrame,
+    min_psnr_db: float = 40.0,
+    caption_tau: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """One-call convenience: check (materialized once) + split."""
+    checked = check_members(clusters, images, min_psnr_db, caption_tau).localCheckpoint()
+    return split_verified(clusters, checked)

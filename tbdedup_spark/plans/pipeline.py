@@ -43,7 +43,7 @@ class DedupConfig:
     jaccard_tau: float = 0.6
     phash_bands: int = 8
     phash_max_hamming: int = 7
-    minhash_max_bucket: int = 256
+    minhash_max_bucket: int = 64
     simhash_max_bucket: int = 1024
     min_psnr_db: float = 40.0
     seed: int = 42
@@ -110,8 +110,8 @@ def run_pipeline(
         .dropDuplicates(["a_id", "b_id", "detector"]),
         "pairs_*",
     )
-    for det in ("exact", "minhash", "simhash", "substr"):
-        cat.log_metric("pairs_all", f"pairs_{det}", pairs.filter(F.col("detector") == det).count())
+    for row in pairs.groupBy("detector").count().collect():  # one job, not four
+        cat.log_metric("pairs_all", f"pairs_{row['detector']}", row["count"])
 
     clusters = cat.stage(
         "clusters",
@@ -123,13 +123,21 @@ def run_pipeline(
         "pairs_all",
     )
 
+    # expensive invariant pass materialized once (PSNR decode UDF); the
+    # verified/quarantine splits read its parquet, never re-decoding
+    checked = cat.stage(
+        "verify_checked",
+        lambda: verify.check_members(clusters, images, config.min_psnr_db),
+        "clusters",
+    )
+
     def _verify():
-        ok, quarantined = verify.verify_members(clusters, images, config.min_psnr_db)
-        cat.write(quarantined, "quarantine")
-        cat.log_metric("verify", "quarantined", quarantined.count())
+        ok, quarantined = verify.split_verified(clusters, checked)
+        n_quarantined = cat.write(quarantined, "quarantine")
+        cat.log_metric("verify", "quarantined", n_quarantined)
         return ok
 
-    verified = cat.stage("clusters_verified", _verify, "clusters")
+    verified = cat.stage("clusters_verified", _verify, "verify_checked")
 
     return {
         "signatures": sigs,

@@ -73,10 +73,32 @@ class Catalog:
         return self.spark.read.parquet(path).count()
 
     # --- lineage / metrics ----------------------------------------------
+    #
+    # Written driver-side with pyarrow, NOT as Spark jobs: a lineage row is
+    # one tuple; scheduling a distributed job per bookkeeping row costs ~1s
+    # each and dominated small-run wall clock. The directory stays a normal
+    # parquet table readable by spark.read.parquet (and by Iceberg-migrated
+    # readers later).
+
+    _seq = 0
 
     def _append(self, rows: list[tuple], table: str, sch) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         path = os.path.join(self.warehouse, table)
-        self.spark.createDataFrame(rows, sch).coalesce(1).write.mode("append").parquet(path)
+        os.makedirs(path, exist_ok=True)
+        arrow_types = {
+            "string": pa.string(), "integer": pa.int32(),
+            "long": pa.int64(), "double": pa.float64(),
+        }
+        cols = {
+            f.name: pa.array([r[i] for r in rows], type=arrow_types[f.dataType.typeName()])
+            for i, f in enumerate(sch.fields)
+        }
+        Catalog._seq += 1
+        fname = f"part-{self.run_id}-{os.getpid()}-{Catalog._seq:06d}.parquet"
+        pq.write_table(pa.table(cols), os.path.join(path, fname))
 
     def log_lineage(
         self, stage: str, input_ref: str | None, output_ref: str | None,

@@ -20,11 +20,15 @@ import numpy as np
 
 from . import codecs
 
-VOCAB = (
-    "sun moon river stone cloud forest ember quartz falcon harbor meadow "
-    "lantern orchid copper velvet thunder willow saffron marble juniper "
-    "crystal canyon breeze summit prairie drift cascade horizon pebble fern"
-).split()
+# 400 distinct words (syllable products): a vocabulary small enough to be
+# readable but large enough that UNRELATED captions don't collide in LSH
+# buckets — with a ~30-word vocabulary every pair of random captions shares
+# most shingles and candidate generation degenerates into all-pairs (the
+# "stop-word bucket" failure mode the size caps exist for; we want the caps
+# exercised by skew, not by a toy vocabulary).
+_SYL_A = "ba co di fu gra hel ki lo mun nor pe qui ra sto tu ve wi xa yo zen".split()
+_SYL_B = "rin tal mor fex lua dri pon sk vel na zu qi ma ther ost ci gu by ren wa".split()
+VOCAB = [a + b for a in _SYL_A for b in _SYL_B]
 
 DUP_CLASSES = ("exact", "reencode", "perturb", "paraphrase", "contain", "distinct")
 
@@ -88,61 +92,77 @@ def _paraphrase(caption: str, rng: np.random.Generator) -> str:
     return " ".join(toks)
 
 
-def generate_corpus(n_bases: int = 200, seed: int = 42) -> list[Row]:
-    """``n_bases`` base rows, each with 0-3 planted derivatives (FIXTURES F1)."""
-    rng = np.random.default_rng(seed)
+def rows_for_base(base_idx: int, seed: int = 42) -> list[Row]:
+    """All rows derived from one base: 1 base + 0-3 planted derivatives.
+
+    Seeded per base index (``default_rng([seed, base_idx])``), so the corpus
+    is identical whether generated sequentially on the driver or distributed
+    across executors in any partitioning — the no-RNG-in-workers discipline
+    (contrast the reference's wall-clock names, tbdedup/planner/output.py:26-78).
+    """
+    rng = np.random.default_rng([seed, base_idx])
     rows: list[Row] = []
     counter = 0
 
     def make_id() -> str:
         nonlocal counter
         counter += 1
-        return f"img{counter - 1:012d}"
+        return f"img{base_idx:09d}_{counter - 1:02d}"
 
-    for _ in range(n_bases):
-        px = _base_pixels(rng)
-        cap = _caption(rng)
-        fmt = "png" if rng.random() < 0.7 else "jpeg"
-        if fmt == "png":
-            data = codecs.encode_png(px)
-            stored_px = px
-        else:
-            data = codecs.encode_fake_jpeg(px)
-            stored_px = codecs.decode_fake_jpeg(data)  # lossy: stored != source
-        base_id = make_id()
-        h, w, _ = px.shape
-        rows.append(
-            Row(base_id, data, w, h, fmt, cap, codecs.phash64(stored_px), "base", base_id, stored_px)
-        )
+    px = _base_pixels(rng)
+    cap = _caption(rng)
+    fmt = "png" if rng.random() < 0.7 else "jpeg"
+    if fmt == "png":
+        data = codecs.encode_png(px)
+        stored_px = px
+    else:
+        data = codecs.encode_fake_jpeg(px)
+        stored_px = codecs.decode_fake_jpeg(data)  # lossy: stored != source
+    base_id = make_id()
+    h, w, _ = px.shape
+    rows.append(
+        Row(base_id, data, w, h, fmt, cap, codecs.phash64(stored_px), "base", base_id, stored_px)
+    )
 
-        n_deriv = int(rng.integers(0, 4))
-        classes = rng.choice(DUP_CLASSES, n_deriv)
-        for cls in classes:
-            did = make_id()
-            if cls == "exact":
-                rows.append(Row(did, data, w, h, fmt, cap, codecs.phash64(stored_px), "exact", base_id, stored_px))
-            elif cls == "reencode":
-                # same source pixels, lossy re-encode (PNG -> fake JPEG)
-                d2 = codecs.encode_fake_jpeg(stored_px)
-                px2 = codecs.decode_fake_jpeg(d2)
-                rows.append(Row(did, d2, w, h, "jpeg", cap, codecs.phash64(px2), "reencode", base_id, px2))
-            elif cls == "perturb":
-                px2 = _perturb(stored_px, rng)
-                d2 = codecs.encode_png(px2)
-                rows.append(Row(did, d2, w, h, "png", cap, codecs.phash64(px2), "perturb", base_id, px2))
-            elif cls == "paraphrase":
-                cap2 = _paraphrase(cap, rng)
-                rows.append(Row(did, data, w, h, fmt, cap2, codecs.phash64(stored_px), "paraphrase", base_id, stored_px))
-            elif cls == "contain":
-                cap2 = cap + " " + _caption(rng)
-                rows.append(Row(did, data, w, h, fmt, cap2, codecs.phash64(stored_px), "contain", base_id, stored_px))
-            else:  # distinct — unrelated negative control
-                px2 = _base_pixels(rng)
-                cap2 = _caption(rng)
-                d2 = codecs.encode_png(px2)
-                h2, w2, _ = px2.shape
-                rows.append(Row(did, d2, w2, h2, "png", cap2, codecs.phash64(px2), "distinct", did, px2))
+    n_deriv = int(rng.integers(0, 4))
+    classes = rng.choice(DUP_CLASSES, n_deriv)
+    for cls in classes:
+        did = make_id()
+        if cls == "exact":
+            rows.append(Row(did, data, w, h, fmt, cap, codecs.phash64(stored_px), "exact", base_id, stored_px))
+        elif cls == "reencode":
+            # same source pixels, lossy re-encode (PNG -> fake JPEG)
+            d2 = codecs.encode_fake_jpeg(stored_px)
+            px2 = codecs.decode_fake_jpeg(d2)
+            rows.append(Row(did, d2, w, h, "jpeg", cap, codecs.phash64(px2), "reencode", base_id, px2))
+        elif cls == "perturb":
+            px2 = _perturb(stored_px, rng)
+            d2 = codecs.encode_png(px2)
+            rows.append(Row(did, d2, w, h, "png", cap, codecs.phash64(px2), "perturb", base_id, px2))
+        elif cls == "paraphrase":
+            cap2 = _paraphrase(cap, rng)
+            rows.append(Row(did, data, w, h, fmt, cap2, codecs.phash64(stored_px), "paraphrase", base_id, stored_px))
+        elif cls == "contain":
+            cap2 = cap + " " + _caption(rng)
+            rows.append(Row(did, data, w, h, fmt, cap2, codecs.phash64(stored_px), "contain", base_id, stored_px))
+        else:  # distinct — unrelated negative control
+            px2 = _base_pixels(rng)
+            cap2 = _caption(rng)
+            d2 = codecs.encode_png(px2)
+            h2, w2, _ = px2.shape
+            rows.append(Row(did, d2, w2, h2, "png", cap2, codecs.phash64(px2), "distinct", did, px2))
     return rows
+
+
+def generate_corpus(n_bases: int = 200, seed: int = 42) -> list[Row]:
+    """``n_bases`` base rows, each with 0-3 planted derivatives (FIXTURES F1).
+    Driver-side convenience over ``rows_for_base`` (the distributed generator
+    in ``synth_dist.py`` calls the same per-base function, so small-scale test
+    corpora and large-scale bench corpora share one definition)."""
+    out: list[Row] = []
+    for i in range(n_bases):
+        out.extend(rows_for_base(i, seed))
+    return out
 
 
 def metadata_variant(row: Row, key: str = "Software", value: str = "tbdedup_spark") -> Row:
