@@ -32,6 +32,21 @@ def main() -> None:
     images = spark.read.parquet(args.input)
     n = images.count()  # warm the file listing; not part of the measured run
 
+    # Warm-up (excluded from the timer, identical at both levels): spawn the
+    # python-worker pool, JIT the hot codegen paths, touch the shuffle
+    # machinery. Real clusters run on long-lived executors; cold-JVM costs
+    # are a local-mode artifact, not part of the scaling claim.
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    import pandas as pd
+
+    @pandas_udf("long")
+    def _w(b: pd.Series) -> pd.Series:
+        return b.apply(len)
+
+    warm = images.limit(args.cpus * 64)
+    warm.select(_w(F.col("bytes")).alias("x")).groupBy((F.col("x") % 7).alias("g")).count().collect()
+
     t0 = time.time()
     out = run_pipeline(spark, images, args.warehouse, DedupConfig())
     n_clusters = out["clusters"].select("cluster_id").distinct().count()

@@ -172,8 +172,16 @@ def _q_lang_id(spark, sf_dir):
 
 
 def _q_fingerprint(spark, sf_dir):
+    """Bottom-1 sketch via explode+groupBy — NOT the array-transform form:
+    projection collapse would re-evaluate lower+regexp once per shingle
+    (see minhash.exploded_shingles)."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", text.fingerprint("text", FP_K).alias("fp"))
+    ex = minhash.exploded_shingles(d, "doc_id", "text", FP_K)
+    return (
+        ex.withColumn("_h", text.hash60("_sh"))
+        .groupBy(F.col("_id").alias("doc_id"))
+        .agg(F.min("_h").alias("fp"))
+    )
 
 
 def _q_ann_bruteforce(spark, sf_dir):

@@ -63,6 +63,14 @@ def shingles(norm_col: str, k: int = 5) -> Column:
 
     Whole string when shorter than k. Pure expression: sequence + transform +
     substring, no explode yet — the caller decides when to explode.
+
+    PERFORMANCE WARNING: if ``norm_col`` is itself an expression (e.g.
+    ``norm_text``), projection collapse inlines it into the transform lambda
+    and re-evaluates it once PER SHINGLE (~200x per row; ICU ``lower`` makes
+    this brutal). Hot paths must use ``operators.minhash.exploded_shingles``
+    (explode positions first — the Generate node is a collapse boundary).
+    This expression form is kept for small relations and because it mirrors
+    the DuckDB oracle SQL one-to-one.
     """
     return F.expr(
         f"array_distinct(transform(sequence(0, greatest(length({norm_col}) - {k}, 0)),"

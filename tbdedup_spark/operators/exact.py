@@ -21,7 +21,7 @@ functions/hashing.py docstring).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import hashing
@@ -56,12 +56,15 @@ def exact_pairs(sigs: DataFrame, key: str = "sig") -> DataFrame:
     Star edges (member ↔ min(member)) carry the same connectivity as the full
     within-group clique at O(n) instead of O(n²) rows — at 10^12 scale a
     million-row duplicate group must not explode into 10^12 pair rows.
-    One shuffle (the window partition on ``key``).
+
+    groupBy+join, not Window.partitionBy(key): a window puts a whole hot
+    signature group on one task; the groupBy gets map-side combine and the
+    equi-join back is AQE-skew-splittable.
     """
-    w = Window.partitionBy(key)
+    narrow = sigs.select("image_id", key)
+    reps = narrow.groupBy(key).agg(F.min("image_id").alias("rep"))
     return (
-        sigs.select("image_id", key)
-        .withColumn("rep", F.min("image_id").over(w))
+        narrow.join(reps, key)
         .filter(F.col("image_id") != F.col("rep"))
         .select(
             F.col("rep").alias("a_id"),
@@ -78,15 +81,16 @@ def representatives(sigs: DataFrame, key: str = "sig") -> DataFrame:
     The reference takes whatever row SQLite yields first and breaks
     (tbdedup/dedup/__init__.py:156-157 — scan-order-nondeterministic); we
     refine to min(image_id), which satisfies the same "any member" contract
-    reproducibly. row_number window = one shuffle on ``key``.
+    reproducibly.
+
+    groupBy(min)+join rather than a row_number window — same skew argument
+    as ``exact_pairs``: hot groups must never serialize onto one task.
     """
-    w = Window.partitionBy(key).orderBy("image_id")
-    return (
-        sigs.withColumn("rn", F.row_number().over(w))
-        .withColumn("group_size", F.count(F.lit(1)).over(Window.partitionBy(key)))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    reps = sigs.groupBy(key).agg(
+        F.min("image_id").alias("image_id"),
+        F.count(F.lit(1)).alias("group_size"),
     )
+    return sigs.join(reps, [key, "image_id"])
 
 
 def dual_hash_sanity(sigs: DataFrame) -> DataFrame:

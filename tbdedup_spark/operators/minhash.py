@@ -26,10 +26,36 @@ skew-join splitting handles residual imbalance.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text
+
+
+def exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(_id, _sh): one row per (doc, shingle position), duplicates included.
+
+    Explode-FIRST, substring after: computing the shingle array with
+    ``transform(sequence(...), i -> substring(norm, ...))`` lets Catalyst's
+    projection collapse inline the whole ``lower+regexp_replace``
+    normalization INTO the lambda — re-evaluating it once per shingle
+    (~200x per row; Spark 4's ICU ``lower`` made this the pipeline's top
+    bottleneck: 31/32 threads in CollationSupport$Lower). The Generate
+    (explode) node is a collapse boundary: ``norm`` is evaluated once per
+    input row and downstream substrings reference the materialized column.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        text.norm_text(text_col).alias("_norm"),
+    )
+    pos = base.select(
+        "_id",
+        "_norm",
+        F.explode(F.expr(f"sequence(0, greatest(length(_norm) - {k}, 0))")).alias("_i"),
+    )
+    return pos.select("_id", F.expr(f"substring(_norm, _i + 1, {k})").alias("_sh"))
 
 
 def minhash_signatures(
@@ -40,17 +66,19 @@ def minhash_signatures(
     n_perm: int = 16,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, mh0..mh{n-1}, shingles) — one explode + one groupBy(id)."""
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        text.norm_text(text_col).alias("_norm"),
-    ).withColumn("_shingles", text.shingles("_norm", k))
-    exploded = base.select("_id", F.explode("_shingles").alias("_sh")).withColumn(
+    """(id, mh0..mh{n-1}, shingles) — one explode + one groupBy(id).
+
+    MinHash mins are over the shingle *multiset* (identical to set-mins);
+    ``collect_set`` carries the distinct-shingle array for the Jaccard
+    verify in the same aggregation pass — no second explode, no join.
+    """
+    exploded = exploded_shingles(df, id_col, text_col, k).withColumn(
         "_h", text.hash60("_sh")
     )
-    sig = exploded.groupBy("_id").agg(*text.minhash_agg_cols("_h", n_perm, seed))
-    # carry the shingle array for the verify step (joined back by id, narrow)
-    return sig.join(base.select("_id", "_shingles"), "_id")
+    return exploded.groupBy("_id").agg(
+        *text.minhash_agg_cols("_h", n_perm, seed),
+        F.collect_set("_sh").alias("_shingles"),
+    )
 
 
 def band_keys(
@@ -85,11 +113,13 @@ def candidate_pairs(
     dropped candidate mass is visible (north_rule: size-capped bucket
     explosion, reported, never silent).
     """
-    w = Window.partitionBy("band_idx", "band_key")
-    # materialize once: both the kept-bucket self-join and the dropped-bucket
-    # report derive from this relation — without the checkpoint the whole
-    # upstream signature DAG re-executes per consumer
-    sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(w)).localCheckpoint()
+    # Bucket sizes via groupBy+join, NOT a window: Window.partitionBy(bucket)
+    # would place an entire hot bucket on one task (the thing that OOMs at
+    # 10^12 rows); groupBy gets map-side partial aggregation and the join is
+    # AQE-skew-splittable. Materialized once: the kept-bucket self-join and
+    # the dropped-bucket report both derive from this relation.
+    bsz = banded.groupBy("band_idx", "band_key").agg(F.count(F.lit(1)).alias("_bsz"))
+    sized = banded.join(bsz, ["band_idx", "band_key"]).localCheckpoint()
     dropped = (
         sized.filter(F.col("_bsz") > max_bucket)
         .groupBy("band_idx", "band_key")

@@ -13,7 +13,7 @@ text SimHash assembled by ``text_simhash``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text
@@ -56,10 +56,12 @@ def simhash_pairs(
     are size-capped and reported, as in minhash.candidate_pairs."""
     assert max_hamming < n_bands, "pigeonhole completeness needs d < B"
     banded = hamming_bands(df, id_col, sig_col, n_bands, width)
-    w = Window.partitionBy("band_idx", "band_bits")
-    # one materialization feeds both self-join sides + the dropped report
-    # (and cuts off any expensive upstream, e.g. text_simhash's aggregation)
-    sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(w)).localCheckpoint()
+    # groupBy+join, not a window — a window over a hot bucket is one task
+    # (see minhash.candidate_pairs). One materialization feeds both self-join
+    # sides + the dropped report (and cuts off any expensive upstream, e.g.
+    # text_simhash's aggregation).
+    bsz = banded.groupBy("band_idx", "band_bits").agg(F.count(F.lit(1)).alias("_bsz"))
+    sized = banded.join(bsz, ["band_idx", "band_bits"]).localCheckpoint()
     dropped = (
         sized.filter(F.col("_bsz") > max_bucket)
         .groupBy("band_idx", "band_bits")

@@ -30,18 +30,28 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import text
 
 
-def _norm_df(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    return df.select(
+def _exploded_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(_id, _i, _h): shingle-position hashes, explode-first (see
+    minhash.exploded_shingles for why arrays-of-substrings are a trap:
+    projection collapse re-evaluates the normalization per shingle)."""
+    base = df.select(
         F.col(id_col).alias("_id"),
         text.norm_text(text_col).alias("_norm"),
-    ).withColumn("_shingles", text.shingles("_norm", k))
+    )
+    pos = base.select(
+        "_id", "_norm",
+        F.explode(F.expr(f"sequence(0, greatest(length(_norm) - {k}, 0))")).alias("_i"),
+    )
+    return pos.select(
+        "_id", "_i", text.hash60(F.expr(f"substring(_norm, _i + 1, {k})")).alias("_h")
+    )
 
 
 def containment_pairs(
@@ -52,39 +62,41 @@ def containment_pairs(
     winnow_w: int = 1,
 ) -> DataFrame:
     """Complete containment detection: probe min-shingle vs inverted index."""
-    base = _norm_df(df, id_col, text_col, k)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        text.norm_text(text_col).alias("_norm"),
+    )
+    hashes = _exploded_hashes(df, id_col, text_col, k)
 
     # probe: 1 row per doc — its minimum shingle hash
-    probe = base.select(
-        F.col("_id").alias("short_id"),
-        F.col("_norm").alias("short_norm"),
-        F.array_min(F.transform("_shingles", lambda s: text.hash60(s))).alias("_mh"),
+    probe = (
+        hashes.groupBy("_id").agg(F.min("_h").alias("_mh"))
+        .join(base, "_id")
+        .select(
+            F.col("_id").alias("short_id"),
+            F.col("_norm").alias("short_norm"),
+            "_mh",
+        )
     )
 
-    # index: exploded shingle hashes (optionally winnowed)
-    idx_src = base
+    # index: distinct shingle hashes per doc (optionally winnowed)
     if winnow_w > 1:
-        # keep shingle i iff its hash is minimal within [i, i+w) — classic
-        # winnowing; expressed with built-ins (no UDF)
-        idx_src = base.withColumn(
-            "_hashes", F.transform("_shingles", lambda s: text.hash60(s))
-        ).withColumn(
-            "_kept",
-            F.expr(
-                f"array_distinct(filter(transform(sequence(0, size(_hashes) - 1),"
-                f" i -> CASE WHEN _hashes[i] = array_min(slice(_hashes, i + 1, {winnow_w}))"
-                f" THEN _hashes[i] ELSE NULL END), x -> x IS NOT NULL))"
-            ),
-        ).select("_id", "_norm", F.col("_kept").alias("_idx_hashes"))
-    else:
-        idx_src = base.select(
-            "_id", "_norm",
-            F.array_distinct(F.transform("_shingles", lambda s: text.hash60(s))).alias("_idx_hashes"),
+        # classic winnowing: keep hash at position i iff it is minimal within
+        # the window [i, i+w) — per-doc bounded window (docs are short), so
+        # the partition-by-doc window is skew-safe here unlike bucket windows
+        w = Window.partitionBy("_id").orderBy("_i").rowsBetween(0, winnow_w - 1)
+        kept = (
+            hashes.withColumn("_wmin", F.min("_h").over(w))
+            .filter(F.col("_h") == F.col("_wmin"))
+            .select("_id", "_h")
+            .dropDuplicates(["_id", "_h"])
         )
-    index = idx_src.select(
+    else:
+        kept = hashes.select("_id", "_h").dropDuplicates(["_id", "_h"])
+    index = kept.join(base, "_id").select(
         F.col("_id").alias("long_id"),
         F.col("_norm").alias("long_norm"),
-        F.explode("_idx_hashes").alias("_mh"),
+        F.col("_h").alias("_mh"),
     )
 
     cand = probe.join(index, "_mh").filter(F.col("short_id") != F.col("long_id"))
@@ -201,13 +213,21 @@ def containment_pairs_sa(
     hashes that are some doc's bottom-1 (semi-join), keeping bucket contents
     small. Identical output to ``containment_pairs``.
     """
-    base = _norm_df(df, id_col, text_col, k)
-    hashes = base.withColumn("_hashes", F.transform("_shingles", lambda s: text.hash60(s)))
-    probe = hashes.select("_id", "_norm", F.array_min("_hashes").alias("_bkt"))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        text.norm_text(text_col).alias("_norm"),
+    )
+    hashes = _exploded_hashes(df, id_col, text_col, k)
+    probe = (
+        hashes.groupBy("_id").agg(F.min("_h").alias("_bkt")).join(base, "_id")
+        .select("_id", "_norm", "_bkt")
+    )
     probe_keys = probe.select(F.col("_bkt")).distinct()
     longs = (
-        hashes.select("_id", "_norm", F.explode(F.array_distinct("_hashes")).alias("_bkt"))
+        hashes.select("_id", F.col("_h").alias("_bkt")).dropDuplicates(["_id", "_bkt"])
         .join(probe_keys, "_bkt", "left_semi")
+        .join(base, "_id")
+        .select("_id", "_norm", "_bkt")
     )
     members = probe.unionByName(longs).dropDuplicates(["_bkt", "_id"])
     return (

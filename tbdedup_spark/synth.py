@@ -48,11 +48,12 @@ class Row:
     pixels: np.ndarray | None = field(default=None, repr=False)
 
 
-def _base_pixels(rng: np.random.Generator) -> np.ndarray:
+def _base_pixels(rng: np.random.Generator, sizes: tuple = (64, 96, 128)) -> np.ndarray:
     """Procedural image: seeded gradient + random rectangles. Sizes from
-    {64, 96, 128}^2 per FIXTURES.md."""
-    w = int(rng.choice([64, 96, 128]))
-    h = int(rng.choice([64, 96, 128]))
+    {64, 96, 128}^2 per FIXTURES.md (tests); the bench corpus passes larger
+    sizes so per-row decode cost is representative of real images."""
+    w = int(rng.choice(list(sizes)))
+    h = int(rng.choice(list(sizes)))
     yy, xx = np.mgrid[0:h, 0:w]
     base = np.stack(
         [
@@ -92,7 +93,7 @@ def _paraphrase(caption: str, rng: np.random.Generator) -> str:
     return " ".join(toks)
 
 
-def rows_for_base(base_idx: int, seed: int = 42) -> list[Row]:
+def rows_for_base(base_idx: int, seed: int = 42, sizes: tuple = (64, 96, 128)) -> list[Row]:
     """All rows derived from one base: 1 base + 0-3 planted derivatives.
 
     Seeded per base index (``default_rng([seed, base_idx])``), so the corpus
@@ -109,7 +110,7 @@ def rows_for_base(base_idx: int, seed: int = 42) -> list[Row]:
         counter += 1
         return f"img{base_idx:09d}_{counter - 1:02d}"
 
-    px = _base_pixels(rng)
+    px = _base_pixels(rng, sizes)
     cap = _caption(rng)
     fmt = "png" if rng.random() < 0.7 else "jpeg"
     if fmt == "png":
@@ -146,7 +147,7 @@ def rows_for_base(base_idx: int, seed: int = 42) -> list[Row]:
             cap2 = cap + " " + _caption(rng)
             rows.append(Row(did, data, w, h, fmt, cap2, codecs.phash64(stored_px), "contain", base_id, stored_px))
         else:  # distinct — unrelated negative control
-            px2 = _base_pixels(rng)
+            px2 = _base_pixels(rng, sizes)
             cap2 = _caption(rng)
             d2 = codecs.encode_png(px2)
             h2, w2, _ = px2.shape
@@ -154,14 +155,14 @@ def rows_for_base(base_idx: int, seed: int = 42) -> list[Row]:
     return rows
 
 
-def generate_corpus(n_bases: int = 200, seed: int = 42) -> list[Row]:
+def generate_corpus(n_bases: int = 200, seed: int = 42, sizes: tuple = (64, 96, 128)) -> list[Row]:
     """``n_bases`` base rows, each with 0-3 planted derivatives (FIXTURES F1).
     Driver-side convenience over ``rows_for_base`` (the distributed generator
     in ``synth_dist.py`` calls the same per-base function, so small-scale test
     corpora and large-scale bench corpora share one definition)."""
     out: list[Row] = []
     for i in range(n_bases):
-        out.extend(rows_for_base(i, seed))
+        out.extend(rows_for_base(i, seed, sizes))
     return out
 
 

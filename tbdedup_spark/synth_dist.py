@@ -18,7 +18,8 @@ from . import schema, synth
 
 
 def images_distributed(
-    spark: SparkSession, n_bases: int, seed: int = 42, partitions: int = 64
+    spark: SparkSession, n_bases: int, seed: int = 42, partitions: int = 64,
+    sizes: tuple = (64, 96, 128),
 ) -> DataFrame:
     """IMAGES-schema DataFrame of ~2.5x n_bases rows, generated in executors."""
 
@@ -26,7 +27,7 @@ def images_distributed(
         for pdf in batches:
             rows = []
             for idx in pdf["id"]:
-                for r in synth.rows_for_base(int(idx), seed):
+                for r in synth.rows_for_base(int(idx), seed, sizes):
                     rows.append(
                         (r.image_id, r.data, r.w, r.h, r.fmt, r.caption, r.phash)
                     )
