@@ -1,0 +1,102 @@
+"""One cluster-mode measurement: run the pipeline against a standalone
+master with a fixed executor count; print one JSON line.
+
+The executor count is set via spark.cores.max / spark.executor.cores:
+cores.max=8 -> 1 executor x 8 cores (N); cores.max=32 -> 4 executors (4N).
+The package reaches executors exactly as in production: a --py-files zip
+(sc.addPyFile of dist/tbdedup_spark.zip).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from pyspark.sql import SparkSession
+
+from tbdedup_spark.plans.pipeline import DedupConfig, run_pipeline
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--master", required=True)
+    ap.add_argument("--cores-max", type=int, required=True)
+    ap.add_argument("--executor-cores", type=int, default=8)
+    ap.add_argument("--executor-mem", default="12g")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--warehouse", required=True)
+    args = ap.parse_args()
+
+    n_exec = args.cores_max // args.executor_cores
+    netty = (
+        "-Dio.netty.allocator.numDirectArenas=64 "
+        "-Dio.netty.allocator.numHeapArenas=64"
+    )
+    spark = (
+        SparkSession.builder.appName(f"scaling_exec{n_exec}")
+        .master(args.master)
+        .config("spark.cores.max", str(args.cores_max))
+        .config("spark.executor.cores", str(args.executor_cores))
+        .config("spark.executor.memory", args.executor_mem)
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.shuffle.partitions", str(args.cores_max))
+        .config("spark.default.parallelism", str(args.cores_max))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.executor.extraJavaOptions", netty)
+        .config("spark.driver.extraJavaOptions", netty)
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.python.factory.idleWorkerMaxPoolSize", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    # production deployment path: package ships to executors as a zip
+    spark.sparkContext.addPyFile(os.path.join(ROOT, "dist", "tbdedup_spark.zip"))
+
+    images = spark.read.parquet(args.input)
+    n = images.count()
+
+    # warm-up excluded from the timer (long-lived-executor analog):
+    # spawns executor python pools + JITs hot paths, identical at both levels
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    def _w_fn(b):
+        return b.apply(len)
+
+    _w = pandas_udf(_w_fn, "long")
+    images.limit(args.cores_max * 64).select(_w(F.col("bytes")).alias("x")).groupBy(
+        (F.col("x") % 7).alias("g")
+    ).count().collect()
+
+    t0 = time.time()
+    out = run_pipeline(spark, images, args.warehouse, DedupConfig())
+    n_clusters = out["clusters"].select("cluster_id").distinct().count()
+    wall = time.time() - t0
+
+    print(json.dumps({
+        "executors": n_exec,
+        "cores": args.cores_max,
+        "rows": n,
+        "wall_s": round(wall, 2),
+        "images_per_sec": round(n / wall, 1),
+        "n_clusters": n_clusters,
+        "run_id": out["run_id"],
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

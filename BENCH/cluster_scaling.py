@@ -1,0 +1,172 @@
+"""N vs 4N EXECUTORS on a real (local) Spark standalone cluster.
+
+The single-JVM local[K] mode shares one BlockManager, one python-worker
+factory, and one netty pool across all K slots — lock behavior a real
+multi-executor cluster does not have. This harness starts an actual
+standalone master + one 32-core worker on localhost and runs the SAME
+pipeline on the SAME input as two apps:
+
+  * spark.cores.max=N_CORES    -> 1 executor  (N)
+  * spark.cores.max=4xN_CORES -> 4 executors (4N)
+
+Each executor is its own JVM with its own python-worker pool; shuffle flows
+through the standalone shuffle machinery — the faithful in-sandbox stand-in
+for the north_rule's multi-executor criterion. Deployment matches production:
+spark-submit-style driver + --py-files zip (cluster_run.py addPyFile).
+
+Best-of-N interleaved trials (shared host, ~2x ambient variance), all
+trials reported. Results -> BENCH/BASELINE.md + BENCH/scaling.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import socket
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH_DIR = os.path.dirname(os.path.abspath(__file__))
+SPARK_HOME = os.path.join(
+    os.path.dirname(os.__file__), "site-packages", "pyspark"
+)
+MASTER_URL = "spark://127.0.0.1:7077"
+
+# N vs 4N levels: this host exposes 32 vCPUs but raw-CPU throughput
+# (measured: sustained multiprocessing zlib) scales linearly only to ~16
+# procs and plateaus after — 16 physical cores + SMT. local[8]->local[32]
+# is therefore PHYSICALLY capped near 2x (efficiency 0.5) regardless of the
+# engine. The N and 4N levels are chosen inside the linear region:
+# 1 executor x 4 cores vs 4 executors x 4 cores (4 vs 16 cores).
+EXEC_CORES = int(os.environ.get("SCALE_EXEC_CORES", "4"))
+
+
+def _wait_port(port: int, timeout: float = 60.0) -> None:
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        with socket.socket() as s:
+            if s.connect_ex(("127.0.0.1", port)) == 0:
+                return
+        time.sleep(0.5)
+    raise TimeoutError(f"port {port} never opened")
+
+
+def start_cluster() -> list[subprocess.Popen]:
+    env = dict(os.environ)
+    env["SPARK_HOME"] = SPARK_HOME
+    env["SPARK_LOG_DIR"] = "/tmp/spark-standalone-logs"
+    env["SPARK_WORKER_DIR"] = "/tmp/spark-worker"
+    env["SPARK_NO_DAEMONIZE"] = "1"
+    env.setdefault("PYSPARK_PYTHON", sys.executable)
+    spark_class = os.path.join(SPARK_HOME, "bin", "spark-class")
+    procs = [
+        subprocess.Popen(
+            [spark_class, "org.apache.spark.deploy.master.Master",
+             "-h", "127.0.0.1", "-p", "7077", "--webui-port", "8089"],
+            env=env, stdout=open("/tmp/spark-master.log", "w"),
+            stderr=subprocess.STDOUT,
+        )
+    ]
+    _wait_port(7077)
+    procs.append(
+        subprocess.Popen(
+            [spark_class, "org.apache.spark.deploy.worker.Worker",
+             MASTER_URL, "-c", "32", "-m", "56g", "--webui-port", "8090"],
+            env=env, stdout=open("/tmp/spark-worker.log", "w"),
+            stderr=subprocess.STDOUT,
+        )
+    )
+    time.sleep(5)  # worker registration
+    return procs
+
+
+def run_level(cores_max: int, corpus: str, tag: str) -> dict:
+    wh = os.path.join(BENCH_DIR, "wh", tag)
+    shutil.rmtree(wh, ignore_errors=True)
+    out = subprocess.run(
+        [sys.executable, os.path.join(BENCH_DIR, "cluster_run.py"),
+         "--master", MASTER_URL, "--cores-max", str(cores_max),
+         "--executor-cores", str(EXEC_CORES),
+         "--input", corpus, "--warehouse", wh],
+        capture_output=True, text=True, check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_bases = int(os.environ.get("SCALE_N_BASES", "30000"))
+    trials = int(os.environ.get("SCALE_TRIALS", "2"))
+
+    sys.path.insert(0, ROOT)
+    from scaling import ensure_corpus  # reuse the distributed generator
+    sys.path.insert(0, BENCH_DIR)
+    corpus = ensure_corpus(n_bases)
+
+    subprocess.run([sys.executable, os.path.join(ROOT, "make_pyfiles.py")], check=True)
+
+    procs = start_cluster()
+    try:
+        all1, all4 = [], []
+        for t in range(trials):
+            all1.append(run_level(EXEC_CORES, corpus, f"c{n_bases}_t{t}_e1"))
+            print("1 executor :", all1[-1], flush=True)
+            all4.append(run_level(4 * EXEC_CORES, corpus, f"c{n_bases}_t{t}_e4"))
+            print("4 executors:", all4[-1], flush=True)
+    finally:
+        for p in procs[::-1]:
+            p.terminate()
+        for p in procs:
+            p.wait(timeout=20)
+
+    r1 = min(all1, key=lambda r: r["wall_s"])
+    r4 = min(all4, key=lambda r: r["wall_s"])
+    eff = (r4["images_per_sec"] / r1["images_per_sec"]) / 4.0
+    result = {
+        "mode": "standalone-cluster",
+        "n_bases": n_bases,
+        "rows": r1["rows"],
+        "executors_1": r1,
+        "executors_4": r4,
+        "trials_1": all1,
+        "trials_4": all4,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    with open(os.path.join(BENCH_DIR, "scaling.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+    md = f"""# BENCH/BASELINE — N vs 4N executors (local standalone cluster)
+
+No multi-node cluster exists in this sandbox; per the driver instruction the
+two-cluster-size criterion is evidenced by running the SAME pipeline on the
+SAME input at two executor counts on a real (localhost) Spark standalone
+cluster — separate executor JVMs, separate python-worker pools, standalone
+shuffle — deployed exactly as in production (driver + --py-files zip):
+
+| level | executors | cores | rows | wall (s) | images/sec |
+|---|---|---|---|---|---|
+| N  | 1 | {EXEC_CORES} | {r1['rows']} | {r1['wall_s']} | {r1['images_per_sec']} |
+| 4N | 4 | {4 * EXEC_CORES} | {r4['rows']} | {r4['wall_s']} | {r4['images_per_sec']} |
+
+**Scaling efficiency = (throughput_4N / throughput_N) / 4 =
+{result['scaling_efficiency']}** (target >= 0.8: {"PASS" if result['pass'] else "FAIL"})
+
+Trials (interleaved best-of-{trials}; shared host, ambient variance ~2x):
+1 executor: {[t['wall_s'] for t in all1]} s; 4 executors: {[t['wall_s'] for t in all4]} s.
+Identical output at both levels: {r1['n_clusters']} == {r4['n_clusters']} clusters
+({r1['n_clusters'] == r4['n_clusters']}). The job is the full pipeline
+(signatures incl. pixel decode, 4 detectors incl. salted LSH buckets,
+union-find, PSNR verify, checkpointed stages + lineage).
+"""
+    with open(os.path.join(BENCH_DIR, "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()

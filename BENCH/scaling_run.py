@@ -38,12 +38,11 @@ def main() -> None:
     # are a local-mode artifact, not part of the scaling claim.
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
-    import pandas as pd
 
-    @pandas_udf("long")
-    def _w(b: pd.Series) -> pd.Series:
-        return b.apply(len)
+    def _w_fn(b):  # no type hints: `from __future__ import annotations`
+        return b.apply(len)  # stringifies hints and breaks inference
 
+    _w = pandas_udf(_w_fn, "long")
     warm = images.limit(args.cpus * 64)
     warm.select(_w(F.col("bytes")).alias("x")).groupBy((F.col("x") % 7).alias("g")).count().collect()
 

@@ -87,9 +87,21 @@ def shingles_sql(norm_expr: str, k: int = 5) -> str:
 
 
 def hash60(col: str | Column) -> Column:
-    """60-bit positive int from md5 — the shared base hash."""
+    """60-bit positive int from md5 — the ORACLE-GRADE base hash: available
+    bit-identically in DuckDB, used wherever a query must match oracle SQL.
+    Costs ~30us/row JVM-side (MessageDigest + hex + conv) — use ``hash32``
+    in throughput paths."""
     c = F.col(col) if isinstance(col, str) else col
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def hash32(col: str | Column) -> Column:
+    """crc32 base hash — the THROUGHPUT-GRADE variant (~100x cheaper than
+    md5+conv). Python mirror: ``zlib.crc32(s.encode())`` (same IEEE
+    polynomial), so driver-side oracles can recompute it. 32-bit domain:
+    collisions only ever ADD candidates, which the verify stages filter."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.crc32(F.encode(c, "utf-8"))
 
 
 def hash60_sql(expr: str) -> str:

@@ -65,6 +65,7 @@ def minhash_signatures(
     k: int = 5,
     n_perm: int = 16,
     seed: int = 42,
+    hash_fn=None,
 ) -> DataFrame:
     """(id, mh0..mh{n-1}, shingles) — one explode + one groupBy(id).
 
@@ -72,8 +73,11 @@ def minhash_signatures(
     ``collect_set`` carries the distinct-shingle array for the Jaccard
     verify in the same aggregation pass — no second explode, no join.
     """
+    hash_fn = hash_fn or text.hash60  # hash60: oracle-grade (DuckDB md5
+    # mirror); pass text.hash32 (crc32) in throughput paths — ~100x cheaper,
+    # python-mirrorable via zlib.crc32, collisions only add candidates
     exploded = exploded_shingles(df, id_col, text_col, k).withColumn(
-        "_h", text.hash60("_sh")
+        "_h", hash_fn("_sh")
     )
     return exploded.groupBy("_id").agg(
         *text.minhash_agg_cols("_h", n_perm, seed),
@@ -104,29 +108,43 @@ def band_keys(
 
 
 def candidate_pairs(
-    banded: DataFrame, max_bucket: int | None = 64
+    banded: DataFrame,
+    max_bucket: int | None = 64,
+    salt_cap: int | None = None,
+    salt_chunks: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """Self-join per (band_idx, band_key); returns (pairs, dropped_buckets).
 
-    ``dropped_buckets`` is the honest-accounting relation: (band_idx,
-    band_key, bucket_size) for buckets over the cap — logged to metrics so
-    dropped candidate mass is visible (north_rule: size-capped bucket
-    explosion, reported, never silent).
+    Three bucket regimes (the north_rule's skew ladder):
+
+    * size <= max_bucket — plain band-key self-join.
+    * max_bucket < size <= salt_cap (when set) — SALTED self-join: members
+      get a chunk id ``hash(id) % S``; the left side is replicated to every
+      chunk >= its own and the join key becomes (band, chunk) — one
+      quadratic bucket becomes ~S(S+1)/2 independent join cells that
+      schedule across the cluster instead of one monster task. Same pair
+      set, ~S/2x replication of the narrow (id, band) rows.
+    * size > cap — dropped AND REPORTED via ``dropped_buckets`` (band_idx,
+      band_key, bucket_size): at web scale the mega-bucket is a stop-phrase
+      bucket; its pairs are either worthless or recovered by the exact/
+      caption-signature detector's star edges. Never silent.
     """
     # Bucket sizes via groupBy+join, NOT a window: Window.partitionBy(bucket)
     # would place an entire hot bucket on one task (the thing that OOMs at
     # 10^12 rows); groupBy gets map-side partial aggregation and the join is
-    # AQE-skew-splittable. Materialized once: the kept-bucket self-join and
-    # the dropped-bucket report both derive from this relation.
+    # AQE-skew-splittable. Materialized once: all three regimes and the
+    # dropped-bucket report derive from this relation.
     bsz = banded.groupBy("band_idx", "band_key").agg(F.count(F.lit(1)).alias("_bsz"))
     sized = banded.join(bsz, ["band_idx", "band_key"]).localCheckpoint()
+    drop_over = (salt_cap or max_bucket) if max_bucket else None
     dropped = (
-        sized.filter(F.col("_bsz") > max_bucket)
+        sized.filter(F.col("_bsz") > drop_over)
         .groupBy("band_idx", "band_key")
         .agg(F.max("_bsz").alias("bucket_size"))
-        if max_bucket
+        if drop_over
         else sized.limit(0).groupBy("band_idx", "band_key").agg(F.max("_bsz").alias("bucket_size"))
     )
+
     kept = sized.filter(F.col("_bsz") <= max_bucket) if max_bucket else sized
     a = kept.select(F.col("_id").alias("a_id"), "band_idx", "band_key")
     b = kept.select(F.col("_id").alias("b_id"), "band_idx", "band_key")
@@ -134,9 +152,36 @@ def candidate_pairs(
         a.join(b, ["band_idx", "band_key"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
     )
-    return pairs, dropped
+
+    if max_bucket and salt_cap and salt_cap > max_bucket:
+        hot = sized.filter(
+            (F.col("_bsz") > max_bucket) & (F.col("_bsz") <= salt_cap)
+        ).withColumn("_chunk", F.pmod(F.xxhash64("_id"), F.lit(salt_chunks)))
+        # left side replicated to every chunk >= its own; right side keyed
+        # by its own chunk -> join cell (band, cb) holds chunk pair (ca, cb)
+        chunks = F.array(*[F.lit(j) for j in range(salt_chunks)])
+        ha = (
+            hot.select(F.col("_id").alias("a_id"), "band_idx", "band_key", F.col("_chunk").alias("_ca"))
+            .withColumn("_cb", F.explode(chunks))
+            .filter(F.col("_cb") >= F.col("_ca"))
+        )
+        hb = hot.select(
+            F.col("_id").alias("b_id"), "band_idx", "band_key", F.col("_chunk").alias("_cb")
+        )
+        # normalize with least/greatest, NOT a_id < b_id: a pair whose
+        # smaller id sits in the higher chunk only appears as (big, small)
+        hot_pairs = (
+            ha.join(hb, ["band_idx", "band_key", "_cb"])
+            .filter(F.col("a_id") != F.col("b_id"))
+            .select(
+                F.least("a_id", "b_id").alias("a_id"),
+                F.greatest("a_id", "b_id").alias("b_id"),
+            )
+        )
+        pairs = pairs.unionByName(hot_pairs)
+
+    return pairs.dropDuplicates(["a_id", "b_id"]), dropped
 
 
 def verify_jaccard(
@@ -171,6 +216,9 @@ def minhash_pairs(
     seed: int = 42,
     max_bucket: int | None = 64,
     checkpoint: bool = True,
+    salt_cap: int | None = None,
+    salt_chunks: int = 8,
+    hash_fn=None,
 ) -> tuple[DataFrame, DataFrame]:
     """End-to-end detector: (verified pairs PAIRS-schema, dropped buckets).
 
@@ -179,9 +227,9 @@ def minhash_pairs(
     it the explode+groupBy DAG re-executes per consumer. On a real cluster
     this is the stage-B Iceberg table (plans/pipeline.py writes it there).
     """
-    sigs = minhash_signatures(df, id_col, text_col, k, n_perm, seed)
+    sigs = minhash_signatures(df, id_col, text_col, k, n_perm, seed, hash_fn)
     if checkpoint:
         sigs = sigs.localCheckpoint()
     banded = band_keys(sigs, n_perm, n_bands)
-    cand, dropped = candidate_pairs(banded, max_bucket)
+    cand, dropped = candidate_pairs(banded, max_bucket, salt_cap, salt_chunks)
     return verify_jaccard(cand, sigs, tau), dropped

@@ -49,8 +49,10 @@ def _exploded_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataF
         "_id", "_norm",
         F.explode(F.expr(f"sequence(0, greatest(length(_norm) - {k}, 0))")).alias("_i"),
     )
+    # crc32: the probe/index hash is internal (both sides use the same fn)
+    # and contains() removes collisions — throughput-grade is always safe here
     return pos.select(
-        "_id", "_i", text.hash60(F.expr(f"substring(_norm, _i + 1, {k})")).alias("_h")
+        "_id", "_i", text.hash32(F.expr(f"substring(_norm, _i + 1, {k})")).alias("_h")
     )
 
 

@@ -54,49 +54,94 @@ def check_members(
     images: DataFrame,
     min_psnr_db: float = 40.0,
     caption_tau: float = 0.5,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
-    """The expensive half: one pass computing per-member invariants
-    (psnr_db, cap_sim, cap_contain, ok) vs the representative. Narrow output —
-    pipeline checkpoints it so verified/quarantine splits don't re-decode.
+    """Per-member invariants (psnr_db, cap_sim, cap_contain, ok) vs the
+    representative — LAZILY: the invariant is (pixel-dup OR caption-dup), so
+    the expensive half (shuffling image bytes + decoding for PSNR) runs only
+    for the residual that the cheap checks cannot prove:
+
+      1. canonical signatures equal          -> pixels identical, PSNR = inf
+         (no decode; the reference's byte-range re-read analog short-cut)
+      2. caption equal / contained / token-overlap >= tau -> caption-dup
+      3. residual only: join bytes by id, decode both sides, exact PSNR
+
+    At web scale this is the difference between shuffling the ENTIRE image
+    corpus twice per run and shuffling a sliver: members that need pixel
+    proof are typically phash-detected re-encodes whose captions differ —
+    rare by construction.
 
     ``clusters``: (image_id, cluster_id, is_representative);
-    ``images``: full IMAGES table. Representative rows pass by definition.
+    ``images``: full IMAGES table; ``sigs``: optional SIGNATURES relation
+    (computed from images when absent).
     """
+    if sigs is None:
+        from . import exact as _exact
+
+        sigs = _exact.signatures(images)
+    narrow = sigs.select("image_id", "sig", "caption")
+
     members = clusters.filter(~F.col("is_representative"))
     reps = clusters.filter(F.col("is_representative")).select(
         F.col("cluster_id"), F.col("image_id").alias("_rep_id")
     )
-    img_narrow = images.select("image_id", "bytes", "caption")
-    joined = (
+    toks = lambda c: F.array_distinct(F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " "))
+    cheap = (
         members.join(reps, "cluster_id")
-        .join(img_narrow.withColumnRenamed("bytes", "_mb").withColumnRenamed("caption", "_mc"), "image_id")
         .join(
-            img_narrow.select(
+            narrow.withColumnRenamed("sig", "_ms").withColumnRenamed("caption", "_mc"),
+            "image_id",
+        )
+        .join(
+            narrow.select(
                 F.col("image_id").alias("_rep_id"),
-                F.col("bytes").alias("_rb"),
+                F.col("sig").alias("_rs"),
                 F.col("caption").alias("_rc"),
             ),
             "_rep_id",
         )
+        .withColumn("_sig_eq", F.col("_ms") == F.col("_rs"))
+        .withColumn(
+            "_cap_sim",
+            F.size(F.array_intersect(toks(F.col("_mc")), toks(F.col("_rc"))))
+            / F.greatest(F.size(F.array_union(toks(F.col("_mc")), toks(F.col("_rc")))), F.lit(1)).cast("double"),
+        )
+        .withColumn(
+            "_cap_contain",
+            F.col("_mc").contains(F.col("_rc")) | F.col("_rc").contains(F.col("_mc")),
+        )
     )
-    toks = lambda c: F.array_distinct(F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " "))
-    checked = joined.withColumn("_psnr", _psnr_udf("_mb", "_rb")).withColumn(
-        "_cap_sim",
-        F.size(F.array_intersect(toks(F.col("_mc")), toks(F.col("_rc"))))
-        / F.greatest(F.size(F.array_union(toks(F.col("_mc")), toks(F.col("_rc")))), F.lit(1)).cast("double"),
-    ).withColumn(
-        "_cap_contain",
-        F.col("_mc").contains(F.col("_rc")) | F.col("_rc").contains(F.col("_mc")),
+    cheap_ok = (
+        F.col("_sig_eq") | (F.col("_cap_sim") >= caption_tau) | F.col("_cap_contain")
     )
-    ok = (F.col("_psnr") >= min_psnr_db) | (F.col("_cap_sim") >= caption_tau) | F.col("_cap_contain")
-    return checked.select(
+    proven = cheap.filter(cheap_ok).select(
         "image_id",
         "cluster_id",
-        F.round("_psnr", 2).alias("psnr_db"),
+        F.when(F.col("_sig_eq"), F.lit(1e9)).otherwise(F.lit(None)).alias("psnr_db"),
         F.round("_cap_sim", 3).alias("cap_sim"),
         F.col("_cap_contain").alias("cap_contain"),
-        ok.alias("ok"),
+        F.lit(True).alias("ok"),
     )
+
+    residual = cheap.filter(~cheap_ok).select("image_id", "cluster_id", "_rep_id", "_cap_sim", "_cap_contain")
+    img_bytes = images.select("image_id", "bytes")
+    decoded = (
+        residual.join(img_bytes.withColumnRenamed("bytes", "_mb"), "image_id")
+        .join(
+            img_bytes.select(F.col("image_id").alias("_rep_id"), F.col("bytes").alias("_rb")),
+            "_rep_id",
+        )
+        .withColumn("_psnr", _psnr_udf("_mb", "_rb"))
+        .select(
+            "image_id",
+            "cluster_id",
+            F.round("_psnr", 2).alias("psnr_db"),
+            F.round("_cap_sim", 3).alias("cap_sim"),
+            F.col("_cap_contain").alias("cap_contain"),
+            (F.col("_psnr") >= min_psnr_db).alias("ok"),
+        )
+    )
+    return proven.unionByName(decoded)
 
 
 def split_verified(clusters: DataFrame, checked: DataFrame) -> tuple[DataFrame, DataFrame]:

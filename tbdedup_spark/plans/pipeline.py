@@ -26,6 +26,7 @@ from dataclasses import asdict, dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import text
 from ..operators import exact, minhash, simhash, substr, unionfind, verify
 from ..sources.catalog import Catalog, config_run_id
 
@@ -44,6 +45,8 @@ class DedupConfig:
     phash_bands: int = 8
     phash_max_hamming: int = 7
     minhash_max_bucket: int = 64
+    minhash_salt_cap: int = 1024   # buckets up to here: salted self-join
+    minhash_salt_chunks: int = 8
     simhash_max_bucket: int = 1024
     min_psnr_db: float = 40.0
     seed: int = 42
@@ -80,6 +83,9 @@ def run_pipeline(
             k=config.shingle_k, n_perm=config.n_perm, n_bands=config.n_bands,
             tau=config.jaccard_tau, seed=config.seed,
             max_bucket=config.minhash_max_bucket,
+            salt_cap=config.minhash_salt_cap,
+            salt_chunks=config.minhash_salt_chunks,
+            hash_fn=text.hash32,  # throughput-grade; oracle queries pass md5
         )
         n_dropped = dropped.count()
         cat.log_metric("pairs_minhash", "dropped_buckets", n_dropped)
@@ -127,7 +133,7 @@ def run_pipeline(
     # verified/quarantine splits read its parquet, never re-decoding
     checked = cat.stage(
         "verify_checked",
-        lambda: verify.check_members(clusters, images, config.min_psnr_db),
+        lambda: verify.check_members(clusters, images, config.min_psnr_db, sigs=sigs),
         "clusters",
     )
 

@@ -20,15 +20,18 @@ import numpy as np
 
 from . import codecs
 
-# 400 distinct words (syllable products): a vocabulary small enough to be
-# readable but large enough that UNRELATED captions don't collide in LSH
-# buckets — with a ~30-word vocabulary every pair of random captions shares
-# most shingles and candidate generation degenerates into all-pairs (the
-# "stop-word bucket" failure mode the size caps exist for; we want the caps
-# exercised by skew, not by a toy vocabulary).
+# 8000 distinct words (3-syllable products): vocabulary diversity models
+# real caption corpora. With a small vocabulary (30 words, then 400) every
+# pair of unrelated captions shares enough 5-char shingles to LSH-collide —
+# at 75k rows that produced 14M junk candidate pairs whose Jaccard-verify
+# dominated the pipeline. Planted duplicate classes are unaffected (they
+# share/transform whole captions); unrelated rows now rarely collide, so
+# buckets reflect genuine duplicate structure (hot-bucket handling is
+# covered by tests/test_skew.py with constructed skew).
 _SYL_A = "ba co di fu gra hel ki lo mun nor pe qui ra sto tu ve wi xa yo zen".split()
 _SYL_B = "rin tal mor fex lua dri pon sk vel na zu qi ma ther ost ci gu by ren wa".split()
-VOCAB = [a + b for a in _SYL_A for b in _SYL_B]
+_SYL_C = "da el fi go hu ja ka li mo nu po ri sa te ul vo wy xi ya zo".split()
+VOCAB = [a + b + c for a in _SYL_A for b in _SYL_B for c in _SYL_C]
 
 DUP_CLASSES = ("exact", "reencode", "perturb", "paraphrase", "contain", "distinct")
 
