@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tbdedup_spark.functions import text, vectors
-from tbdedup_spark.operators import ann, minhash, simhash, substr, unionfind
+from tbdedup_spark.operators import ann, minhash, setsim, simhash, substr, unionfind
 
 # --- shared detector config (same constants on both engines) -----------------
 K = 5            # shingle width
@@ -125,23 +125,17 @@ def _q_clusters(spark, sf_dir):
 
 
 def _q_ngram_jaccard(spark, sf_dir):
-    """Exact token-set Jaccard within lang blocks (blocked theta-join)."""
+    """Exact token-set Jaccard within lang blocks — prefix-filtered
+    similarity join (operators/setsim.py), NOT the quadratic within-block
+    all-pairs join: candidates come only from shared rare-prefix tokens and
+    are then exactly verified, so the result is identical to the brute-force
+    oracle while the shuffle stays near-linear."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang",
         F.array_distinct(F.split(text.norm_text("text"), " ")).alias("toks"),
     )
-    a = d.select(F.col("doc_id").alias("a_id"), "lang", F.col("toks").alias("ta"))
-    b = d.select(F.col("doc_id").alias("b_id"), "lang", F.col("toks").alias("tb"))
-    return (
-        a.join(b, "lang")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn(
-            "score",
-            F.size(F.array_intersect("ta", "tb")) / F.size(F.array_union("ta", "tb")).cast("double"),
-        )
-        .filter(F.col("score") >= NGRAM_TAU)
-        .select("a_id", "b_id", F.round("score", 6).alias("score"))
-    )
+    pairs = setsim.jaccard_pairs(d, "doc_id", "toks", NGRAM_TAU, block_cols=("lang",))
+    return pairs.select("a_id", "b_id", F.round("score", 6).alias("score"))
 
 
 def _q_token_counts(spark, sf_dir):
@@ -362,7 +356,11 @@ mh_pairs AS (
 
 def _substr_pairs_sql() -> str:
     """Relation ``sub_pairs(a_id, b_id)`` — brute-force containment (the
-    oracle for the min-shingle-probe index join, which is complete+precise)."""
+    oracle for the winnowed-probe index join, which is complete+precise).
+    Contract shared with the Spark side: empty normalized strings are
+    excluded (an empty string is contained in everything — quadratic junk);
+    sub-k-length docs are included (Spark handles them via the broadcast
+    brute path, operators/substr.py:_short_doc_pairs)."""
     return f"""
 dn AS (SELECT doc_id, {_NORM} AS norm FROM documents),
 sub_pairs AS (
@@ -370,6 +368,7 @@ sub_pairs AS (
                   greatest(a.doc_id, b.doc_id) AS b_id
   FROM dn a JOIN dn b
     ON a.doc_id != b.doc_id AND a.norm != b.norm AND contains(b.norm, a.norm)
+       AND length(a.norm) >= 1
 )"""
 
 

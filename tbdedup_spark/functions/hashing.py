@@ -47,9 +47,15 @@ def _canonical_sig_fn(data: pd.Series, caption: pd.Series) -> pd.Series:
     """sha256(canonical_pixel_bytes(bytes) + utf8(caption)) per row.
 
     Vectorized at the Arrow-batch level; decode is C-backed per image. A row
-    that fails to decode gets sentinel ``DECODE_ERROR:<image-prefix>`` rather
+    that fails to decode gets sentinel ``DECODE_ERROR:<sha256(bytes)>`` rather
     than failing the stage — the analog of the reference quarantining
     mismatched records instead of aborting (tbdedup/dedup/__init__.py:142-151).
+    The sentinel hashes the FULL bytes (not a prefix — the first 8 bytes are
+    the format magic, identical across all corrupt files of one format), so
+    distinct undecodable images never collide into one exact-dup group; only
+    byte-identical corrupt rows group, which is correct by the disk-sig
+    contract. The pipeline additionally quarantines DECODE_ERROR rows before
+    pair generation (plans/pipeline.py).
     """
     out = []
     for b, c in zip(data, caption):
@@ -59,7 +65,7 @@ def _canonical_sig_fn(data: pd.Series, caption: pd.Series) -> pd.Series:
             h.update(("\x00" + (c or "")).encode("utf-8"))
             out.append(h.hexdigest())
         except Exception:
-            out.append("DECODE_ERROR:" + bytes(b)[:8].hex())
+            out.append("DECODE_ERROR:" + hashlib.sha256(bytes(b)).hexdigest())
     return pd.Series(out)
 
 

@@ -230,16 +230,9 @@ def lang_id_heuristic(col: str) -> Column:
     return out.otherwise("other")
 
 
-def fingerprint(src_col: str, k: int = 8) -> Column:
-    """Document fingerprint: bottom-1 sketch = min 60-bit hash over k-shingles.
-
-    The 1-permutation degenerate of MinHash; stable under whitespace noise,
-    ideal as a cheap pre-cluster key at scale (winnowing's little sibling).
-    """
-    n = f"trim(regexp_replace(lower({src_col}), '\\\\s+', ' '))"
-    return F.expr(
-        "array_min(transform("
-        f" array_distinct(transform(sequence(0, greatest(length({n}) - {k}, 0)),"
-        f"   i -> substring({n}, i + 1, {k}))),"
-        "  s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)))"
-    )
+# NOTE: an expression-form `fingerprint(src_col)` used to live here (bottom-1
+# sketch via array-transform with the normalization inlined). Deleted: it was
+# this module's own documented projection-collapse trap (see the warning at
+# `shingles` above — Catalyst re-evaluates lower+regexp_replace once per
+# shingle) and dead code. The live path is the exploded form in
+# __spark_entry__._q_fingerprint (explode positions → hash → groupBy min).

@@ -56,55 +56,17 @@ def _exploded_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataF
     )
 
 
-def containment_pairs(
-    df: DataFrame,
-    id_col: str = "image_id",
-    text_col: str = "caption",
-    k: int = 5,
-    winnow_w: int = 1,
-) -> DataFrame:
-    """Complete containment detection: probe min-shingle vs inverted index."""
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        text.norm_text(text_col).alias("_norm"),
-    )
-    hashes = _exploded_hashes(df, id_col, text_col, k)
-
-    # probe: 1 row per doc — its minimum shingle hash
-    probe = (
-        hashes.groupBy("_id").agg(F.min("_h").alias("_mh"))
-        .join(base, "_id")
-        .select(
-            F.col("_id").alias("short_id"),
-            F.col("_norm").alias("short_norm"),
-            "_mh",
-        )
-    )
-
-    # index: distinct shingle hashes per doc (optionally winnowed)
-    if winnow_w > 1:
-        # classic winnowing: keep hash at position i iff it is minimal within
-        # the window [i, i+w) — per-doc bounded window (docs are short), so
-        # the partition-by-doc window is skew-safe here unlike bucket windows
-        w = Window.partitionBy("_id").orderBy("_i").rowsBetween(0, winnow_w - 1)
-        kept = (
-            hashes.withColumn("_wmin", F.min("_h").over(w))
-            .filter(F.col("_h") == F.col("_wmin"))
-            .select("_id", "_h")
-            .dropDuplicates(["_id", "_h"])
-        )
-    else:
-        kept = hashes.select("_id", "_h").dropDuplicates(["_id", "_h"])
-    index = kept.join(base, "_id").select(
-        F.col("_id").alias("long_id"),
-        F.col("_norm").alias("long_norm"),
-        F.col("_h").alias("_mh"),
-    )
-
-    cand = probe.join(index, "_mh").filter(F.col("short_id") != F.col("long_id"))
-    verified = cand.filter(
-        (F.col("short_norm") != F.col("long_norm"))
-        & F.col("long_norm").contains(F.col("short_norm"))
+def _verified_pairs(cand: DataFrame, base: DataFrame) -> DataFrame:
+    """Fetch the two norms BY ID for candidate pairs only, then the exact
+    ``contains`` check. Candidates are orders of magnitude fewer than index
+    rows, so the doc text enters exactly two narrow joins here instead of
+    riding every index row (the round-1 anti-pattern: each doc's text was
+    replicated ~len(doc) times through the index shuffle — O(len^2) bytes
+    per doc)."""
+    verified = (
+        cand.join(base.select(F.col("_id").alias("short_id"), F.col("_norm").alias("_sn")), "short_id")
+        .join(base.select(F.col("_id").alias("long_id"), F.col("_norm").alias("_ln")), "long_id")
+        .filter((F.col("_sn") != F.col("_ln")) & F.col("_ln").contains(F.col("_sn")))
     )
     return (
         verified.select(
@@ -115,6 +77,109 @@ def containment_pairs(
         )
         .dropDuplicates(["a_id", "b_id"])
     )
+
+
+def _short_doc_pairs(base: DataFrame, min_len: int) -> DataFrame:
+    """Docs whose normalized text is too short for the shingle machinery
+    (0 < length < ``min_len``): brute-force broadcast against the corpus.
+
+    Without this, a doc shorter than k chars has no k-shingle in common with
+    its container's index (its only 'shingle' is the whole string) and every
+    containment involving it is silently missed while the brute-force oracle
+    reports it. Shorts are rare by construction at web scale, so the
+    broadcast nested-loop is a sliver; empty strings are EXCLUDED by
+    contract (an empty string is contained in everything — quadratic junk),
+    mirrored in the oracle SQL (length >= 1)."""
+    shorts = base.filter((F.length("_norm") < min_len) & (F.length("_norm") >= 1)).select(
+        F.col("_id").alias("short_id"), F.col("_norm").alias("_sn")
+    )
+    cand = base.select(F.col("_id").alias("long_id"), F.col("_norm").alias("_ln")).join(
+        F.broadcast(shorts), F.col("short_id") != F.col("long_id")
+    )
+    verified = cand.filter(
+        (F.col("_sn") != F.col("_ln")) & F.col("_ln").contains(F.col("_sn"))
+    )
+    return verified.select(
+        F.least("short_id", "long_id").alias("a_id"),
+        F.greatest("short_id", "long_id").alias("b_id"),
+        F.lit("substr").alias("detector"),
+        F.lit(1.0).alias("score"),
+    ).dropDuplicates(["a_id", "b_id"])
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+    k: int = 5,
+    winnow_w: int = 1,
+) -> DataFrame:
+    """Complete containment detection: winnowed-min probe vs inverted index.
+
+    ``winnow_w = 1``: probe = each doc's global bottom-1 shingle hash; index
+    = every distinct shingle hash. Complete because short ⊆ long implies
+    every shingle of short (in particular its min) is a shingle of long.
+
+    ``winnow_w > 1`` (the scale path — index shrinks ~w×): index = CLASSIC
+    winnowing fingerprints (rightmost argmin of each full w-window of
+    shingle hashes — selection depends only on window content, so any window
+    shared by two docs selects the same fingerprint in both). Probe = the
+    doc's minimum over its OWN winnowed fingerprints: that fingerprint was
+    selected from some full window W of the probe; if probe ⊆ container, W
+    is also a full window of the container, which therefore selected the
+    same fingerprint into its index. (Probing with the *global* min shingle
+    instead is the subtle recall bug: the global min may sit in a window
+    whose rightmost-min is a smaller neighbouring hash in the container.)
+
+    Docs too short to own a full window (length < k + winnow_w - 1) take the
+    brute-force broadcast path; empty strings are excluded by contract.
+    ``contains()`` verification makes precision exact either way.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        text.norm_text(text_col).alias("_norm"),
+    )
+    min_len = k + winnow_w - 1
+    long_enough = base.filter(F.length("_norm") >= min_len)
+    hashes = _exploded_hashes(long_enough, "_id", "_norm", k)
+
+    if winnow_w > 1:
+        # struct(_h, -_i): min = smallest hash, rightmost on ties — the
+        # content-relative tie-break classic winnowing needs. Per-doc bounded
+        # windows (docs are short), so partitionBy(doc) is skew-safe here.
+        keyed = hashes.withColumn("_key", F.struct(F.col("_h"), (-F.col("_i")).alias("_ni")))
+        cnt_w = Window.partitionBy("_id")
+        fwd = Window.partitionBy("_id").orderBy("_i").rowsBetween(0, winnow_w - 1)
+        bwd = Window.partitionBy("_id").orderBy("_i").rowsBetween(-(winnow_w - 1), 0)
+        keyed = keyed.withColumn("_n", F.count(F.lit(1)).over(cnt_w))
+        # _wkey(i) = selected key of the window starting at i (full windows only)
+        keyed = keyed.withColumn(
+            "_wkey",
+            F.when(F.col("_i") <= F.col("_n") - winnow_w, F.min("_key").over(fwd)),
+        )
+        # position j is selected iff some window containing j selected it
+        kept = (
+            keyed.withColumn("_selected", F.max("_wkey").over(bwd) == F.col("_key"))
+            .filter("_selected")
+            .select("_id", "_h")
+        )
+    else:
+        kept = hashes.select("_id", "_h")
+    kept = kept.dropDuplicates(["_id", "_h"])
+
+    # probe: 1 row per doc — min over its own (winnowed) fingerprints;
+    # index: the fingerprints themselves, (id, hash) ONLY — no doc text
+    probe = kept.groupBy("_id").agg(F.min("_h").alias("_mh")).select(
+        F.col("_id").alias("short_id"), "_mh"
+    )
+    index = kept.select(F.col("_id").alias("long_id"), F.col("_h").alias("_mh"))
+    cand = probe.join(index, "_mh").filter(F.col("short_id") != F.col("long_id")).select(
+        "short_id", "long_id"
+    )
+    pairs = _verified_pairs(cand, base)
+    if min_len > 1:
+        pairs = pairs.unionByName(_short_doc_pairs(base, min_len)).dropDuplicates(["a_id", "b_id"])
+    return pairs
 
 
 # --- suffix-array variant -----------------------------------------------------
@@ -219,7 +284,8 @@ def containment_pairs_sa(
         F.col(id_col).alias("_id"),
         text.norm_text(text_col).alias("_norm"),
     )
-    hashes = _exploded_hashes(df, id_col, text_col, k)
+    long_enough = base.filter(F.length("_norm") >= k)
+    hashes = _exploded_hashes(long_enough, "_id", "_norm", k)
     probe = (
         hashes.groupBy("_id").agg(F.min("_h").alias("_bkt")).join(base, "_id")
         .select("_id", "_norm", "_bkt")
@@ -232,8 +298,10 @@ def containment_pairs_sa(
         .select("_id", "_norm", "_bkt")
     )
     members = probe.unionByName(longs).dropDuplicates(["_bkt", "_id"])
-    return (
+    sa_pairs = (
         members.groupBy("_bkt")
         .applyInPandas(lambda pdf: _sa_bucket(pdf), schema=_SA_SCHEMA)
         .dropDuplicates(["a_id", "b_id"])
     )
+    # sub-k docs share the same contract as containment_pairs: brute path
+    return sa_pairs.unionByName(_short_doc_pairs(base, k)).dropDuplicates(["a_id", "b_id"])

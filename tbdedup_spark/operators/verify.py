@@ -114,9 +114,16 @@ def check_members(
     cheap_ok = (
         F.col("_sig_eq") | (F.col("_cap_sim") >= caption_tau) | F.col("_cap_contain")
     )
+    # Materialize the NARROW relation once: it feeds three consumers (proven
+    # rows, the residual, and the residual's id list) — without this the
+    # token-array join DAG re-executes per consumer. No bytes in it.
+    cheap = cheap.select(
+        "image_id", "cluster_id", "_rep_id", "_sig_eq", "_cap_sim", "_cap_contain"
+    ).localCheckpoint()
     proven = cheap.filter(cheap_ok).select(
         "image_id",
         "cluster_id",
+        F.col("_rep_id").alias("rep_id"),
         F.when(F.col("_sig_eq"), F.lit(1e9)).otherwise(F.lit(None)).alias("psnr_db"),
         F.round("_cap_sim", 3).alias("cap_sim"),
         F.col("_cap_contain").alias("cap_contain"),
@@ -124,7 +131,24 @@ def check_members(
     )
 
     residual = cheap.filter(~cheap_ok).select("image_id", "cluster_id", "_rep_id", "_cap_sim", "_cap_contain")
-    img_bytes = images.select("image_id", "bytes")
+    # Bytes fetch for the residual ONLY, as one broadcast-semi-filtered scan:
+    # joining the full images table against a 0.1%-sized residual would
+    # otherwise shuffle the entire bytes column (measured: the verify stage
+    # spent ~20s re-scanning+joining a 4.2 GB corpus for 276 residual rows).
+    # The id list is tiny (2 ids per residual row), the scan happens once,
+    # and the resulting narrow bytes relation is small enough for AQE to
+    # broadcast into both sides of the residual join.
+    ids = (
+        residual.select(F.col("image_id").alias("_fid"))
+        .unionByName(residual.select(F.col("_rep_id").alias("_fid")))
+        .distinct()
+        .withColumnRenamed("_fid", "image_id")
+    )
+    img_bytes = (
+        images.join(F.broadcast(ids), "image_id", "left_semi")
+        .select("image_id", "bytes")
+        .localCheckpoint()
+    )
     decoded = (
         residual.join(img_bytes.withColumnRenamed("bytes", "_mb"), "image_id")
         .join(
@@ -135,6 +159,7 @@ def check_members(
         .select(
             "image_id",
             "cluster_id",
+            F.col("_rep_id").alias("rep_id"),
             F.round("_psnr", 2).alias("psnr_db"),
             F.round("_cap_sim", 3).alias("cap_sim"),
             F.col("_cap_contain").alias("cap_contain"),
@@ -144,22 +169,61 @@ def check_members(
     return proven.unionByName(decoded)
 
 
-def split_verified(clusters: DataFrame, checked: DataFrame) -> tuple[DataFrame, DataFrame]:
+def split_verified(
+    clusters: DataFrame,
+    checked: DataFrame,
+    images: DataFrame | None = None,
+    evidence_cap: int = 1 << 20,
+) -> tuple[DataFrame, DataFrame]:
     """(verified CLUSTERS rows, QUARANTINE rows) from a materialized
-    ``check_members`` output — the cheap half."""
+    ``check_members`` output — the cheap half.
+
+    When ``images`` is given, each quarantine row carries the failing
+    member's bytes (size-capped at ``evidence_cap``) — parity with the
+    reference preserving the mismatched record as a standalone
+    ``<hash>.orig-<id>.mboxrecord`` artifact
+    (tbdedup/dedup/__init__.py:146-149): the row alone reproduces the
+    mismatch offline (decode evidence_bytes, decode the rep via rep_id,
+    recompute PSNR) without re-running the join."""
     verified = checked.filter("ok").select(
         "image_id", "cluster_id", F.lit(False).alias("is_representative")
     )
     quarantined = checked.filter(~F.col("ok")).select(
         "image_id",
         "cluster_id",
+        "rep_id",
         F.concat(
             F.lit("psnr="), F.col("psnr_db").cast("string"),
             F.lit(" cap_sim="), F.col("cap_sim").cast("string"),
         ).alias("reason"),
+        F.col("psnr_db"),
+        F.col("cap_sim"),
     )
-    reps_rows = clusters.filter(F.col("is_representative"))
+    quarantined = attach_evidence(quarantined, images, evidence_cap)
+    reps_rows = clusters.filter(F.col("is_representative")).select(
+        "image_id", "cluster_id", "is_representative"
+    )
     return reps_rows.unionByName(verified), quarantined
+
+
+def attach_evidence(
+    quarantined: DataFrame, images: DataFrame | None, evidence_cap: int = 1 << 20
+) -> DataFrame:
+    """Left-join the failing member's bytes (size-capped) as evidence_bytes.
+    ``images=None`` keeps the column (null) so the QUARANTINE schema is
+    stable. Quarantine is rare by construction, so the broadcast-semi
+    filtered scan is a sliver of the corpus."""
+    if images is None:
+        return quarantined.withColumn("evidence_bytes", F.lit(None).cast("binary"))
+    ids = quarantined.select("image_id").distinct()
+    ev = (
+        images.join(F.broadcast(ids), "image_id", "left_semi")
+        .select(
+            "image_id",
+            F.when(F.length("bytes") <= evidence_cap, F.col("bytes")).alias("evidence_bytes"),
+        )
+    )
+    return quarantined.join(ev, "image_id", "left")
 
 
 def verify_members(
@@ -170,4 +234,4 @@ def verify_members(
 ) -> tuple[DataFrame, DataFrame]:
     """One-call convenience: check (materialized once) + split."""
     checked = check_members(clusters, images, min_psnr_db, caption_tau).localCheckpoint()
-    return split_verified(clusters, checked)
+    return split_verified(clusters, checked, images=images)

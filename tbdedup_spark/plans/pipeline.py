@@ -47,7 +47,15 @@ class DedupConfig:
     minhash_max_bucket: int = 64
     minhash_salt_cap: int = 1024   # buckets up to here: salted self-join
     minhash_salt_chunks: int = 8
+    # estimated-Jaccard prefilter before the exact verify join (fraction of
+    # equal minhash coords); ~tau/2 = 3+ sigma below tau at n_perm=16, so
+    # true pairs pass w.p. ~1-1e-5 while collision junk (J ~ 0.05) dies
+    minhash_est_tau: float = 0.3
     simhash_max_bucket: int = 1024
+    # winnowed containment index (~w x smaller); recall is exact for any
+    # contained doc of normalized length >= shingle_k + winnow_w - 1, and
+    # shorter docs take the brute broadcast path (operators/substr.py)
+    substr_winnow_w: int = 4
     min_psnr_db: float = 40.0
     seed: int = 42
 
@@ -67,6 +75,13 @@ def run_pipeline(
         lambda: exact.signatures(images, include_canonical=(config.hash_source == "canonical")),
         input_ref="images",
     )
+    # Rows whose pixels failed to decode carry a per-row DECODE_ERROR
+    # sentinel; they are quarantined BEFORE pair generation (the verify
+    # contract: never dedup what cannot be verified) and excluded from every
+    # detector. The analog of the reference skipping + preserving the record
+    # on hash mismatch instead of writing it (tbdedup/dedup/__init__.py:142-151).
+    _is_bad = F.col("sig").startswith("DECODE_ERROR:")
+    sigs_ok = sigs.filter(~_is_bad)
 
     # O9 sanity pair — metrics, with the reference's divergence warning
     sanity = exact.dual_hash_sanity(sigs).collect()[0]
@@ -75,17 +90,18 @@ def run_pipeline(
     if sanity.counts_diverge:
         cat.log_metric("signatures", "dual_hash_counts_diverge", 1.0)
 
-    exact_p = cat.stage("pairs_exact", lambda: exact.exact_pairs(sigs), "signatures")
+    exact_p = cat.stage("pairs_exact", lambda: exact.exact_pairs(sigs_ok), "signatures")
 
     def _mh():
         pairs, dropped = minhash.minhash_pairs(
-            sigs, "image_id", "caption",
+            sigs_ok, "image_id", "caption",
             k=config.shingle_k, n_perm=config.n_perm, n_bands=config.n_bands,
             tau=config.jaccard_tau, seed=config.seed,
             max_bucket=config.minhash_max_bucket,
             salt_cap=config.minhash_salt_cap,
             salt_chunks=config.minhash_salt_chunks,
             hash_fn=text.hash32,  # throughput-grade; oracle queries pass md5
+            est_tau=config.minhash_est_tau,
         )
         n_dropped = dropped.count()
         cat.log_metric("pairs_minhash", "dropped_buckets", n_dropped)
@@ -95,7 +111,7 @@ def run_pipeline(
 
     def _sh():
         pairs, dropped = simhash.simhash_pairs(
-            sigs, "image_id", "phash",
+            sigs_ok, "image_id", "phash",
             max_hamming=config.phash_max_hamming, n_bands=config.phash_bands,
             max_bucket=config.simhash_max_bucket,
         )
@@ -106,7 +122,10 @@ def run_pipeline(
 
     sub_p = cat.stage(
         "pairs_substr",
-        lambda: substr.containment_pairs(sigs, "image_id", "caption", k=config.shingle_k),
+        lambda: substr.containment_pairs(
+            sigs_ok, "image_id", "caption",
+            k=config.shingle_k, winnow_w=config.substr_winnow_w,
+        ),
         "signatures",
     )
 
@@ -123,7 +142,8 @@ def run_pipeline(
         "clusters",
         lambda: unionfind.with_representatives(
             unionfind.connected_components(
-                sigs.select("image_id"), pairs.select("a_id", "b_id")
+                sigs_ok.select("image_id"), pairs.select("a_id", "b_id"),
+                catalog=cat,
             )
         ),
         "pairs_all",
@@ -133,13 +153,25 @@ def run_pipeline(
     # verified/quarantine splits read its parquet, never re-decoding
     checked = cat.stage(
         "verify_checked",
-        lambda: verify.check_members(clusters, images, config.min_psnr_db, sigs=sigs),
+        lambda: verify.check_members(clusters, images, config.min_psnr_db, sigs=sigs_ok),
         "clusters",
     )
 
     def _verify():
         ok, quarantined = verify.split_verified(clusters, checked)
-        n_quarantined = cat.write(quarantined, "quarantine")
+        decode_bad = sigs.filter(_is_bad).select(
+            "image_id",
+            F.lit(None).cast("string").alias("cluster_id"),
+            F.lit(None).cast("string").alias("rep_id"),
+            F.lit("decode_error").alias("reason"),
+            F.lit(None).cast("double").alias("psnr_db"),
+            F.lit(None).cast("double").alias("cap_sim"),
+            F.lit(None).cast("binary").alias("evidence_bytes"),
+        )
+        allq = verify.attach_evidence(
+            quarantined.unionByName(decode_bad).drop("evidence_bytes"), images
+        )
+        n_quarantined = cat.write(allq, "quarantine")
         cat.log_metric("verify", "quarantined", n_quarantined)
         return ok
 

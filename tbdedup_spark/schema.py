@@ -89,11 +89,17 @@ METRICS = T.StructType(
 
 # Quarantine — rows failing the verify-on-write invariant; the analog of the
 # reference writing a ``<hash>.orig-<id>.mboxrecord`` file and skipping
-# (tbdedup/dedup/__init__.py:142-151).
+# (tbdedup/dedup/__init__.py:142-151). evidence_bytes carries the failing
+# member's raw bytes (size-capped), so one quarantine row is sufficient to
+# reproduce the mismatch offline — the .mboxrecord artifact parity.
 QUARANTINE = T.StructType(
     [
         T.StructField("image_id", T.StringType(), False),
-        T.StructField("cluster_id", T.StringType(), False),
+        T.StructField("cluster_id", T.StringType(), True),   # null: failed before clustering
+        T.StructField("rep_id", T.StringType(), True),
         T.StructField("reason", T.StringType(), False),
+        T.StructField("psnr_db", T.DoubleType(), True),
+        T.StructField("cap_sim", T.DoubleType(), True),
+        T.StructField("evidence_bytes", T.BinaryType(), True),
     ]
 )
