@@ -57,6 +57,16 @@ def main() -> None:
         .config("spark.driver.extraJavaOptions", netty)
         .config("spark.python.worker.reuse", "true")
         .config("spark.python.factory.idleWorkerMaxPoolSize", "16")
+        # Multi-executor-specific pathologies the single-JVM levels never
+        # hit, both bimodal run-to-run (they depend on block placement luck):
+        # locality wait stalls scheduling up to 3s per round when tasks
+        # prefer the executor holding a localCheckpoint/cached block; short
+        # tasks should just run remote (standard prod tuning).
+        .config("spark.locality.wait", "0s")
+        # and don't start the first stage until every executor registered —
+        # otherwise early long stages run on a partial cluster
+        .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
+        .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
@@ -80,6 +90,11 @@ def main() -> None:
     images.limit(args.cores_max * 64).select(_w(F.col("bytes")).alias("x")).groupBy(
         (F.col("x") % 7).alias("g")
     ).count().collect()
+    # full-corpus scan: warms the OS page cache identically at both levels —
+    # a single shared local disk is a sandbox artifact (production reads from
+    # distributed storage whose bandwidth scales with the cluster), so cold
+    # read time must not contaminate the N-vs-4N comparison
+    images.select(F.sum(F.length("bytes"))).collect()
 
     t0 = time.time()
     out = run_pipeline(spark, images, args.warehouse, DedupConfig())

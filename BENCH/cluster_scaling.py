@@ -99,7 +99,7 @@ def run_level(cores_max: int, corpus: str, tag: str) -> dict:
 
 def main() -> None:
     n_bases = int(os.environ.get("SCALE_N_BASES", "30000"))
-    trials = int(os.environ.get("SCALE_TRIALS", "2"))
+    trials = int(os.environ.get("SCALE_TRIALS", "5"))
 
     sys.path.insert(0, ROOT)
     from scaling import ensure_corpus  # reuse the distributed generator
@@ -122,17 +122,48 @@ def main() -> None:
         for p in procs:
             p.wait(timeout=20)
 
-    r1 = min(all1, key=lambda r: r["wall_s"])
-    r4 = min(all4, key=lambda r: r["wall_s"])
-    eff = (r4["images_per_sec"] / r1["images_per_sec"]) / 4.0
+    import statistics
+
+    def rep(alltr):
+        """The median-wall trial (medians, not best-of: the host is shared
+        and single best trials overstate the uncontended capability)."""
+        med = statistics.median(t["wall_s"] for t in alltr)
+        return min(alltr, key=lambda t: abs(t["wall_s"] - med)), med
+
+    r1, med1 = rep(all1)
+    r4, med4 = rep(all4)
+    eff = (med1 / med4) / 4.0
+
+    def stage_medians(level):
+        """Per-stage wall-clock medians across trials from the lineage
+        metrics each run committed."""
+        import pyarrow.dataset as ds
+        per = {}
+        for t in range(trials):
+            d = os.path.join(BENCH_DIR, "wh", f"c{n_bases}_t{t}_{level}", "metrics")
+            if not os.path.isdir(d):
+                continue
+            tb = ds.dataset(d).to_table().to_pandas()
+            tb = tb[tb.key == "wall_clock_s"]
+            for _, row in tb.iterrows():
+                per.setdefault(row["stage"], []).append(float(row["value"]))
+        return {k: round(statistics.median(v), 1) for k, v in sorted(per.items())}
+
+    st1 = stage_medians("e1")
+    st4 = stage_medians("e4")
+
     result = {
         "mode": "standalone-cluster",
         "n_bases": n_bases,
         "rows": r1["rows"],
+        "median_wall_1": med1,
+        "median_wall_4": med4,
         "executors_1": r1,
         "executors_4": r4,
         "trials_1": all1,
         "trials_4": all4,
+        "stage_medians_1": st1,
+        "stage_medians_4": st4,
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
@@ -140,6 +171,11 @@ def main() -> None:
     with open(os.path.join(BENCH_DIR, "scaling.json"), "w") as f:
         json.dump(result, f, indent=2)
 
+    stage_rows = "\n".join(
+        f"| {k} | {st1.get(k, float('nan'))} | {st4.get(k, float('nan'))} | "
+        f"{round(st1[k] / st4[k], 2) if st4.get(k) and st1.get(k) else ''} |"
+        for k in sorted(set(st1) | set(st4))
+    )
     md = f"""# BENCH/BASELINE — N vs 4N executors (local standalone cluster)
 
 No multi-node cluster exists in this sandbox; per the driver instruction the
@@ -148,20 +184,29 @@ SAME input at two executor counts on a real (localhost) Spark standalone
 cluster — separate executor JVMs, separate python-worker pools, standalone
 shuffle — deployed exactly as in production (driver + --py-files zip):
 
-| level | executors | cores | rows | wall (s) | images/sec |
+| level | executors | cores | rows | median wall (s) | images/sec |
 |---|---|---|---|---|---|
-| N  | 1 | {EXEC_CORES} | {r1['rows']} | {r1['wall_s']} | {r1['images_per_sec']} |
-| 4N | 4 | {4 * EXEC_CORES} | {r4['rows']} | {r4['wall_s']} | {r4['images_per_sec']} |
+| N  | 1 | {EXEC_CORES} | {r1["rows"]} | {med1} | {round(r1["rows"] / med1, 1)} |
+| 4N | 4 | {4 * EXEC_CORES} | {r4["rows"]} | {med4} | {round(r4["rows"] / med4, 1)} |
 
-**Scaling efficiency = (throughput_4N / throughput_N) / 4 =
-{result['scaling_efficiency']}** (target >= 0.8: {"PASS" if result['pass'] else "FAIL"})
+**Scaling efficiency = (median_wall_N / median_wall_4N) / 4 =
+{result["scaling_efficiency"]}** (target >= 0.8: {"PASS" if result["pass"] else "FAIL"})
 
-Trials (interleaved best-of-{trials}; shared host, ambient variance ~2x):
-1 executor: {[t['wall_s'] for t in all1]} s; 4 executors: {[t['wall_s'] for t in all4]} s.
-Identical output at both levels: {r1['n_clusters']} == {r4['n_clusters']} clusters
-({r1['n_clusters'] == r4['n_clusters']}). The job is the full pipeline
+MEDIAN of {trials} interleaved trials per level (not best-of: shared host).
+All trials (wall s) —
+1 executor : {[t["wall_s"] for t in all1]}
+4 executors: {[t["wall_s"] for t in all4]}
+
+Identical output at every trial and level: {r1["n_clusters"]} == {r4["n_clusters"]} clusters
+({r1["n_clusters"] == r4["n_clusters"]}). The job is the full pipeline
 (signatures incl. pixel decode, 4 detectors incl. salted LSH buckets,
 union-find, PSNR verify, checkpointed stages + lineage).
+
+Per-stage wall-clock medians (from the committed lineage metrics):
+
+| stage | N (s) | 4N (s) | speedup |
+|---|---|---|---|
+{stage_rows}
 """
     with open(os.path.join(BENCH_DIR, "BASELINE.md"), "w") as f:
         f.write(md)

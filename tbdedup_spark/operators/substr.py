@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -79,22 +79,13 @@ def _verified_pairs(cand: DataFrame, base: DataFrame) -> DataFrame:
     )
 
 
-def _short_doc_pairs(base: DataFrame, min_len: int) -> DataFrame:
-    """Docs whose normalized text is too short for the shingle machinery
-    (0 < length < ``min_len``): brute-force broadcast against the corpus.
-
-    Without this, a doc shorter than k chars has no k-shingle in common with
-    its container's index (its only 'shingle' is the whole string) and every
-    containment involving it is silently missed while the brute-force oracle
-    reports it. Shorts are rare by construction at web scale, so the
-    broadcast nested-loop is a sliver; empty strings are EXCLUDED by
-    contract (an empty string is contained in everything — quadratic junk),
-    mirrored in the oracle SQL (length >= 1)."""
-    shorts = base.filter((F.length("_norm") < min_len) & (F.length("_norm") >= 1)).select(
-        F.col("_id").alias("short_id"), F.col("_norm").alias("_sn")
-    )
+def _brute_pairs(shorts: DataFrame, base: DataFrame) -> DataFrame:
+    """Broadcast brute-force containment of ``shorts`` (_id, _norm) against
+    the whole corpus. Used for docs the index machinery cannot serve — rare
+    by construction at web scale, so the nested-loop is a sliver."""
+    probe = shorts.select(F.col("_id").alias("short_id"), F.col("_norm").alias("_sn"))
     cand = base.select(F.col("_id").alias("long_id"), F.col("_norm").alias("_ln")).join(
-        F.broadcast(shorts), F.col("short_id") != F.col("long_id")
+        F.broadcast(probe), F.col("short_id") != F.col("long_id")
     )
     verified = cand.filter(
         (F.col("_sn") != F.col("_ln")) & F.col("_ln").contains(F.col("_sn"))
@@ -107,12 +98,27 @@ def _short_doc_pairs(base: DataFrame, min_len: int) -> DataFrame:
     ).dropDuplicates(["a_id", "b_id"])
 
 
+def _short_doc_pairs(base: DataFrame, min_len: int) -> DataFrame:
+    """Docs whose normalized text is too short for the shingle machinery
+    (0 < length < ``min_len``): brute-force broadcast against the corpus.
+
+    Without this, a doc shorter than k chars has no k-shingle in common with
+    its container's index (its only 'shingle' is the whole string) and every
+    containment involving it is silently missed while the brute-force oracle
+    reports it. Empty strings are EXCLUDED by contract (an empty string is
+    contained in everything — quadratic junk), mirrored in the oracle SQL
+    (length >= 1)."""
+    shorts = base.filter((F.length("_norm") < min_len) & (F.length("_norm") >= 1))
+    return _brute_pairs(shorts, base)
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "image_id",
     text_col: str = "caption",
     k: int = 5,
     winnow_w: int = 1,
+    sample_mod: int = 1,
 ) -> DataFrame:
     """Complete containment detection: winnowed-min probe vs inverted index.
 
@@ -131,6 +137,16 @@ def containment_pairs(
     instead is the subtle recall bug: the global min may sit in a window
     whose rightmost-min is a smaller neighbouring hash in the container.)
 
+    ``sample_mod = m > 1`` (the cheaper scale path for FULL-string
+    containment): keep only fingerprints with hash % m == 0. Value-based
+    sampling is trivially containment-closed — short ⊆ long means every
+    (sampled) shingle of short is a (sampled) shingle of long — so unlike
+    positional winnowing it needs no window argument, and it is a pure
+    filter: no extra groupBy, no higher-order functions (measured: winnowing
+    w=4 cost +40s on an 11M-shingle corpus at 4 cores; mod-sampling is
+    free). Docs whose sample comes out empty fall back to the brute path,
+    keeping completeness exact. Composes with winnow_w.
+
     Docs too short to own a full window (length < k + winnow_w - 1) take the
     brute-force broadcast path; empty strings are excluded by contract.
     ``contains()`` verification makes precision exact either way.
@@ -144,41 +160,73 @@ def containment_pairs(
     hashes = _exploded_hashes(long_enough, "_id", "_norm", k)
 
     if winnow_w > 1:
-        # struct(_h, -_i): min = smallest hash, rightmost on ties — the
-        # content-relative tie-break classic winnowing needs. Per-doc bounded
-        # windows (docs are short), so partitionBy(doc) is skew-safe here.
-        keyed = hashes.withColumn("_key", F.struct(F.col("_h"), (-F.col("_i")).alias("_ni")))
-        cnt_w = Window.partitionBy("_id")
-        fwd = Window.partitionBy("_id").orderBy("_i").rowsBetween(0, winnow_w - 1)
-        bwd = Window.partitionBy("_id").orderBy("_i").rowsBetween(-(winnow_w - 1), 0)
-        keyed = keyed.withColumn("_n", F.count(F.lit(1)).over(cnt_w))
-        # _wkey(i) = selected key of the window starting at i (full windows only)
-        keyed = keyed.withColumn(
-            "_wkey",
-            F.when(F.col("_i") <= F.col("_n") - winnow_w, F.min("_key").over(fwd)),
+        # One groupBy reassembles the positional hash array, then the whole
+        # winnowing selection is a higher-order-function EXPRESSION — O(n*w)
+        # per doc inside codegen. (The window-function formulation — three
+        # per-doc windows over the exploded 11M-row relation — measured 72s
+        # vs 43s unwinnowed at 4 cores; this form removes the window sorts.)
+        # struct(h, -i): array_min = smallest hash, rightmost on ties — the
+        # content-relative tie-break classic winnowing needs.
+        w = int(winnow_w)
+        g = (
+            hashes.groupBy("_id")
+            .agg(F.sort_array(F.collect_list(F.struct("_i", "_h"))).alias("_s"))
+            .select("_id", F.col("_s._h").alias("_hs"))
+            .select(
+                "_id",
+                F.expr(
+                    "zip_with(_hs, sequence(0, size(_hs) - 1),"
+                    " (h, i) -> struct(h AS h, -i AS ni))"
+                ).alias("_ks"),
+            )
+            .select(
+                "_id",
+                F.expr(
+                    f"array_distinct(transform(sequence(0, size(_ks) - {w}),"
+                    f" i -> array_min(slice(_ks, i + 1, {w})).h))"
+                ).alias("_kept"),
+            )
         )
-        # position j is selected iff some window containing j selected it
-        kept = (
-            keyed.withColumn("_selected", F.max("_wkey").over(bwd) == F.col("_key"))
-            .filter("_selected")
-            .select("_id", "_h")
-        )
+        kept = g.select("_id", F.explode("_kept").alias("_h"))
     else:
-        kept = hashes.select("_id", "_h")
-    kept = kept.dropDuplicates(["_id", "_h"])
+        kept = hashes.select("_id", "_h").dropDuplicates(["_id", "_h"])
+    if sample_mod > 1:
+        kept = kept.filter(F.pmod("_h", F.lit(sample_mod)) == 0)
 
-    # probe: 1 row per doc — min over its own (winnowed) fingerprints;
-    # index: the fingerprints themselves, (id, hash) ONLY — no doc text
-    probe = kept.groupBy("_id").agg(F.min("_h").alias("_mh")).select(
-        F.col("_id").alias("short_id"), "_mh"
+    # Materialized once: kept feeds the DF aggregate, the probe join, and
+    # the index side — without this the explode+groupBy DAG re-executes
+    # three times (round-1 lesson).
+    kept = kept.localCheckpoint()
+
+    # probe = the doc's RAREST fingerprint (min document frequency, hash as
+    # tie-break), NOT the min-by-value fingerprint. Completeness is the same
+    # (ANY single kept fingerprint of the contained doc appears in the
+    # container's index), but fan-out is minimal: probing by min hash VALUE
+    # is adversarial on real vocabularies — the globally-smallest-hashed
+    # common substring (one syllable, measured: crc32('rika ')) becomes the
+    # probe of hundreds of docs AND sits in thousands of indexes at once,
+    # a quadratic hidden bucket (measured 2.27M candidates from 8k docs).
+    # Rarest-first is the same economics as prefix filtering (setsim.py).
+    df_rel = kept.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    probe = (
+        kept.join(df_rel, "_h")
+        .groupBy("_id")
+        .agg(F.min(F.struct("_df", "_h")).alias("_m"))
+        .select(F.col("_id").alias("short_id"), F.col("_m._h").alias("_mh"))
     )
     index = kept.select(F.col("_id").alias("long_id"), F.col("_h").alias("_mh"))
     cand = probe.join(index, "_mh").filter(F.col("short_id") != F.col("long_id")).select(
         "short_id", "long_id"
     )
     pairs = _verified_pairs(cand, base)
-    if min_len > 1:
-        pairs = pairs.unionByName(_short_doc_pairs(base, min_len)).dropDuplicates(["a_id", "b_id"])
+    brute = base.filter((F.length("_norm") < min_len) & (F.length("_norm") >= 1))
+    if sample_mod > 1:
+        # docs long enough to index whose sample came out empty: exact
+        # completeness demands they probe brute-force (rare: P ~ (1-1/m)^s)
+        no_sample = long_enough.join(kept.select("_id").distinct(), "_id", "left_anti")
+        brute = brute.unionByName(no_sample)
+    if min_len > 1 or sample_mod > 1:
+        pairs = pairs.unionByName(_brute_pairs(brute, base)).dropDuplicates(["a_id", "b_id"])
     return pairs
 
 

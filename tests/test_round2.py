@@ -79,6 +79,17 @@ def test_winnowed_containment_exact_vs_brute_random(spark):
     assert got == _brute_contain(rows)
 
 
+@pytest.mark.parametrize("m", [4, 64])
+def test_containment_mod_sampling_exact(spark, images, golden, m):
+    """Value-mod sampling is containment-closed, so even an aggressive m
+    (where many docs have an EMPTY sample and must fall back to the brute
+    path) stays exactly equal to brute force."""
+    pairs = substr.containment_pairs(images, k=8, sample_mod=m)
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    oracle = {(a, b) for a, b, d, _ in golden["pairs"] if d == "substr"}
+    assert got == oracle
+
+
 def test_winnowed_index_is_smaller(spark, images):
     """The point of winnowing: the index must shrink vs winnow_w=1."""
     base = images.select(F.col("image_id").alias("_id"), text.norm_text("caption").alias("_norm"))
@@ -209,6 +220,29 @@ def test_pipeline_quarantines_decode_errors_with_evidence(spark, tmp_path):
     # quarantined rows are excluded from the verified clusters
     clustered = {r.image_id for r in out["clusters"].collect()}
     assert not (set(bad) & clustered)
+
+
+# --- Iceberg catalog branch ----------------------------------------------
+
+
+def test_catalog_iceberg_mode(spark, images, tmp_path):
+    """Runs only when the Iceberg Spark runtime jar is present (not in this
+    sandbox): the same Catalog contract over real snapshot commits. Without
+    the jar, asserts the documented failure mode."""
+    from tbdedup_spark.sources import catalog as catmod
+
+    if not catmod.iceberg_available(spark):
+        with pytest.raises(RuntimeError, match="Iceberg"):
+            catmod.Catalog(spark, str(tmp_path / "iwh"), "run_x", iceberg=True)
+        pytest.skip("Iceberg runtime jar absent in sandbox")
+    cat = catmod.Catalog(spark, str(tmp_path / "iwh"), "run_x", iceberg=True)
+    df = images.select("image_id").limit(5)
+    assert not cat.exists("t1")
+    n = cat.write(df, "t1")
+    assert n == 5 and cat.exists("t1")
+    assert cat.read("t1").count() == 5
+    cat.log_metric("s", "k", 1.0)
+    assert cat.metrics().count() >= 1
 
 
 def test_attach_evidence_size_cap(spark, images):
