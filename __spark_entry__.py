@@ -36,6 +36,9 @@ FP_K = 8         # fingerprint shingle width
 ANN_K = 5
 ANN_BITS = 16
 EMB_DIM = 64
+NEARDUP_TAU = 0.9   # embedding-cosine near-dup threshold
+NEARDUP_HAM = 3     # signature hamming bound (detector contract)
+NEARDUP_BANDS = 4   # pigeonhole: complete for hamming <= bands - 1
 SEED = 42
 P = text.MERSENNE_P
 COEF = text.perm_coeffs(N_PERM, SEED)
@@ -175,6 +178,31 @@ def _q_fingerprint(spark, sf_dir):
         ex.withColumn("_h", text.hash60("_sh"))
         .groupBy(F.col("_id").alias("doc_id"))
         .agg(F.min("_h").alias("fp"))
+    )
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    """Fifth dedup detector: embedding-cosine near-dup over documents.
+
+    The embedding is a deterministic 64-dim feature-hashed bag-of-words of
+    the document text (dimension = token-hash % 64, value = count) — computed
+    identically in both engines, so the oracle is exact. One explode + one
+    64-way conditional-sum groupBy builds embeddings; ann.neardup_pairs bands
+    a 16-bit hyperplane signature (pigeonhole-complete for hamming <= 3) and
+    verifies cosine >= tau inside buckets only — never all-pairs."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(text.norm_text("text"), " ")).alias("_tok")
+    ).withColumn("_h", text.hash60("_tok"))
+    emb = (
+        toks.groupBy("doc_id")
+        .agg(*text.hashed_bow_sums("_h", EMB_DIM))
+        .select("doc_id", text.hashed_bow_assemble(EMB_DIM).alias("emb"))
+    )
+    return ann.neardup_pairs(
+        emb, "doc_id", "emb", tau=NEARDUP_TAU,
+        n_bits=ANN_BITS, dim=EMB_DIM, seed=SEED,
+        max_hamming=NEARDUP_HAM, n_bands=NEARDUP_BANDS, max_bucket=None,
     )
 
 
@@ -450,6 +478,30 @@ FROM r WHERE rnk <= {ANN_K}
 """
 
 
+def _embedding_neardup_sql() -> str:
+    """Brute-force truth: same hashed-BoW embedding + signature, ALL pairs."""
+    sums, assemble = text.hashed_bow_sql("h", EMB_DIM)
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_proj_list_sql(j)}) > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(ANN_BITS)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS t FROM d),
+h0 AS (SELECT doc_id, {_h60_sql('t')} AS h FROM tok),
+sums AS (SELECT doc_id, {', '.join(sums)} FROM h0 GROUP BY doc_id),
+emb AS (SELECT doc_id, {assemble} AS v FROM sums),
+nrm AS (SELECT doc_id, v, sqrt(list_dot_product(v, v)) AS nv, {sig_terms} AS sig FROM emb),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         round(list_dot_product(a.v, b.v) / (a.nv * b.nv), 6) AS score,
+         bit_count(xor(a.sig, b.sig)) AS ham
+  FROM nrm a JOIN nrm b ON a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, score FROM p WHERE ham <= {NEARDUP_HAM} AND score >= {NEARDUP_TAU}
+"""
+
+
 def _lang_id_sql() -> str:
     markers = {
         "en": ["the", "and", "of", "to", "is"],
@@ -556,6 +608,7 @@ SELECT doc_id, list_min(list_transform(sh, s -> {_h60_sql('s')})) AS fp FROM s
 """,
         "ann_topk_bruteforce": _ann_bruteforce_sql(),
         "ann_topk_lsh": _ann_lsh_sql(),
+        "embedding_neardup_pairs": _embedding_neardup_sql(),
         "scan_filter_project": """
 SELECT l_orderkey, l_linenumber,
        round(l_extendedprice * (1 - l_discount), 4) AS revenue
@@ -638,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "ann_topk_bruteforce": _q_ann_bruteforce,
         "ann_topk_lsh": _q_ann_lsh,
+        "embedding_neardup_pairs": _q_embedding_neardup,
         "scan_filter_project": _q_scan_filter,
         "group_agg": _q_group_agg,
         "topk_per_group": _q_topk_per_group,

@@ -230,6 +230,38 @@ def lang_id_heuristic(col: str) -> Column:
     return out.otherwise("other")
 
 
+# --- hashed bag-of-words document embeddings ---------------------------------
+
+
+def hashed_bow_sums(h_col: str, dim: int = 64) -> list[Column]:
+    """Per-dimension token-count sums for a feature-hashed bag-of-words
+    embedding: dimension of a token = hash % dim, value = occurrence count.
+    Aggregate columns for one groupBy(doc) pass over exploded token hashes —
+    the same map-side-combined shape as ``simhash_bit_sums``, so the shuffle
+    carries ``dim`` partial sums per doc, never token rows."""
+    return [
+        F.sum(F.when(F.pmod(F.col(h_col), F.lit(dim)) == j, 1).otherwise(0))
+        .cast("double")
+        .alias(f"e{j}")
+        for j in range(dim)
+    ]
+
+
+def hashed_bow_assemble(dim: int = 64) -> Column:
+    """Fold e0..e{dim-1} sums into the ``array<double>`` embedding column."""
+    return F.array(*[F.col(f"e{j}") for j in range(dim)])
+
+
+def hashed_bow_sql(h_expr: str, dim: int = 64) -> tuple[list[str], str]:
+    """DuckDB mirrors of (``hashed_bow_sums``, ``hashed_bow_assemble``)."""
+    sums = [
+        f"CAST(sum(CASE WHEN ({h_expr}) % {dim} = {j} THEN 1 ELSE 0 END) AS DOUBLE) AS e{j}"
+        for j in range(dim)
+    ]
+    assemble = "list_value(" + ", ".join(f"e{j}" for j in range(dim)) + ")"
+    return sums, assemble
+
+
 # NOTE: an expression-form `fingerprint(src_col)` used to live here (bottom-1
 # sketch via array-transform with the normalization inlined). Deleted: it was
 # this module's own documented projection-collapse trap (see the warning at

@@ -11,6 +11,11 @@ Two paths, per the large-scale-training-pipeline contract:
   matching signature buckets (optionally multi-probe over Hamming-1
   neighbors), cosine computed only inside buckets. The scale path: the
   cross product never materializes.
+* ``neardup_pairs`` — embedding-cosine NEAR-DUP detection (all pairs with
+  cosine >= tau), the fifth dedup detector: a 16-bit hyperplane signature
+  (SimHash over the embedding) is banded with the pigeonhole machinery of
+  ``operators.simhash``, so candidates come only from shared band buckets —
+  complete for pairs within the contract's Hamming bound, never all-pairs.
 """
 
 from __future__ import annotations
@@ -19,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors
+from . import simhash
 
 
 def topk_bruteforce(
@@ -96,4 +102,63 @@ def topk_lsh(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.9,
+    n_bits: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (a_id, b_id, score) with a < b,
+    hamming(sig(a), sig(b)) <= max_hamming AND cosine(a, b) >= tau.
+
+    The Hamming bound over the ``n_bits`` hyperplane signature IS part of the
+    detector contract (the classic SimHash near-dup semantics), which is what
+    makes the plan exact AND bucketed: pigeonhole banding (simhash.simhash_pairs,
+    complete for max_hamming <= n_bands - 1) generates candidates from shared
+    band buckets only — never an all-pairs join — and the cosine verify joins
+    the two vectors back BY ID, so embeddings never ride through the band
+    explode shuffle. ``max_bucket=None`` for oracle-exact queries; set a cap
+    in pipelines (dropped buckets are the documented skew valve).
+
+    This is the reference's canonical-signature match (hash-equality,
+    tbdedup/dedup/__init__.py:109-118) relaxed to approximate vector equality;
+    at 10^12 rows the bucketed self-join is the only viable shape.
+    """
+    proj = vectors.seeded_projections(n_bits, dim, seed)
+    sigs = df.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_v"),
+        vectors.lsh_signature(vec_col, proj).alias("_esig"),
+    )
+    # signature relation is tiny (id + vec + long); reuse it for banding and
+    # both verify joins without recomputing the n_bits dot products
+    sigs = sigs.localCheckpoint()
+    cand, _dropped = simhash.simhash_pairs(
+        sigs.select("_vid", "_esig"),
+        id_col="_vid",
+        sig_col="_esig",
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        width=n_bits,
+        max_bucket=max_bucket,
+        detector_name="embedding",
+    )
+    va = sigs.select(F.col("_vid").alias("a_id"), F.col("_v").alias("_va"))
+    vb = sigs.select(F.col("_vid").alias("b_id"), F.col("_v").alias("_vb"))
+    return (
+        cand.select("a_id", "b_id")
+        .join(va, "a_id")
+        .join(vb, "b_id")
+        .withColumn("score", F.round(vectors.cosine("_va", "_vb"), 6))
+        .filter(F.col("score") >= tau)
+        .select("a_id", "b_id", "score")
     )

@@ -66,12 +66,23 @@ def minhash_signatures(
     n_perm: int = 16,
     seed: int = 42,
     hash_fn=None,
+    carry: str = "shingles",
 ) -> DataFrame:
     """(id, mh0..mh{n-1}, shingles) — one explode + one groupBy(id).
 
     MinHash mins are over the shingle *multiset* (identical to set-mins);
     ``collect_set`` carries the distinct-shingle array for the Jaccard
     verify in the same aggregation pass — no second explode, no join.
+
+    ``carry="hashes"`` carries ``collect_set(_h)`` (array<long>) instead of
+    the shingle strings — the THROUGHPUT form: the set column is the fat
+    payload of this detector's every shuffle (the groupBy, the signature
+    checkpoint, and both verify joins; on a multi-executor cluster those
+    bytes cross JVMs), and packed longs are ~4x smaller than UTF8 shingles
+    with a far cheaper array_intersect. Jaccard over distinct hashes equals
+    Jaccard over shingles modulo hash collisions (~|union|^2/2^32 per pair
+    with crc32 — odds ~1e-5, deterministic, and only perturbs near-threshold
+    scores). Queries that must mirror DuckDB bit-exactly keep "shingles".
     """
     hash_fn = hash_fn or text.hash60  # hash60: oracle-grade (DuckDB md5
     # mirror); pass text.hash32 (crc32) in throughput paths — ~100x cheaper,
@@ -79,16 +90,22 @@ def minhash_signatures(
     exploded = exploded_shingles(df, id_col, text_col, k).withColumn(
         "_h", hash_fn("_sh")
     )
+    carry_col = F.collect_set("_h" if carry == "hashes" else "_sh")
     return exploded.groupBy("_id").agg(
         *text.minhash_agg_cols("_h", n_perm, seed),
-        F.collect_set("_sh").alias("_shingles"),
+        carry_col.alias("_shingles"),
     )
 
 
 def band_keys(
-    sigs: DataFrame, n_perm: int = 16, n_bands: int = 8
+    sigs: DataFrame, n_perm: int = 16, n_bands: int = 8, carry_mh: bool = False
 ) -> DataFrame:
-    """(id, band_idx, band_key): concat r=n_perm/n_bands minhashes per band."""
+    """(id, band_idx, band_key[, _mh]): concat r=n_perm/n_bands minhashes per band.
+
+    ``carry_mh`` adds the full minhash vector (array<long>, ~n_perm*8 bytes)
+    to every band row so the bucket self-join can estimate Jaccard INSIDE the
+    join (see ``candidate_pairs(est_tau=...)``) — the payload is n_bands-way
+    replicated but tiny next to the candidate-pair relation it prevents."""
     r = n_perm // n_bands
     assert r * n_bands == n_perm, "n_perm must be divisible by n_bands"
     bands = F.array(
@@ -102,9 +119,12 @@ def band_keys(
             for t in range(n_bands)
         ]
     )
-    return sigs.select("_id", F.explode(bands).alias("b")).select(
-        "_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
-    )
+    cols = [F.col("_id"), F.explode(bands).alias("b")]
+    out = ["_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")]
+    if carry_mh:
+        cols.insert(1, F.array(*[F.col(f"mh{j}") for j in range(n_perm)]).alias("_mh"))
+        out.insert(1, F.col("_mh"))
+    return sigs.select(*cols).select(*out)
 
 
 def candidate_pairs(
@@ -112,8 +132,19 @@ def candidate_pairs(
     max_bucket: int | None = 64,
     salt_cap: int | None = None,
     salt_chunks: int = 8,
+    est_tau: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Self-join per (band_idx, band_key); returns (pairs, dropped_buckets).
+
+    ``est_tau`` (requires ``banded`` built with ``carry_mh=True``): the
+    estimated-Jaccard prefilter (fraction of equal minhash coordinates)
+    applied INSIDE the bucket self-join, before the pair relation is ever
+    shuffled. The candidate relation is the detector's combinatorial object —
+    measured 95.2M distinct candidates from a 300k-row corpus (stop-phrase
+    band keys; grows superlinearly) of which 0.2% survive verification;
+    filtering at the join means the 99.8% junk never reaches the
+    dropDuplicates shuffle or the verify joins, at the price of carrying
+    ~n_perm*8 bytes per band row into the join inputs.
 
     Three bucket regimes (the north_rule's skew ladder):
 
@@ -151,14 +182,29 @@ def candidate_pairs(
         else sized.limit(0).groupBy("band_idx", "band_key").agg(F.max("_bsz").alias("bucket_size"))
     )
 
-    kept = sized.filter(F.col("_bsz") <= max_bucket) if max_bucket else sized
-    a = kept.select(F.col("_id").alias("a_id"), "band_idx", "band_key")
-    b = kept.select(F.col("_id").alias("b_id"), "band_idx", "band_key")
-    pairs = (
-        a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+    carry = est_tau is not None
+    if carry and "_mh" not in banded.columns:
+        raise ValueError("est_tau requires banded rows built with carry_mh=True")
+    _est = (
+        F.size(F.filter(F.zip_with("_mha", "_mhb", lambda x, y: x == y), lambda v: v))
+        / F.size("_mha").cast("double")
     )
+
+    def _side(df, idn, mhn):
+        cols = [F.col("_id").alias(idn), "band_idx", "band_key"]
+        if carry:
+            cols.append(F.col("_mh").alias(mhn))
+        return df.select(*cols)
+
+    kept = sized.filter(F.col("_bsz") <= max_bucket) if max_bucket else sized
+    pairs = (
+        _side(kept, "a_id", "_mha")
+        .join(_side(kept, "b_id", "_mhb"), ["band_idx", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+    )
+    if carry:
+        pairs = pairs.filter(_est >= est_tau)
+    pairs = pairs.select("a_id", "b_id")
 
     if max_bucket and salt_cap and salt_cap > max_bucket:
         hot = sized.filter(
@@ -167,23 +213,27 @@ def candidate_pairs(
         # left side replicated to every chunk >= its own; right side keyed
         # by its own chunk -> join cell (band, cb) holds chunk pair (ca, cb)
         chunks = F.array(*[F.lit(j) for j in range(salt_chunks)])
+        ha_cols = [F.col("_id").alias("a_id"), "band_idx", "band_key", F.col("_chunk").alias("_ca")]
+        hb_cols = [F.col("_id").alias("b_id"), "band_idx", "band_key", F.col("_chunk").alias("_cb")]
+        if carry:
+            ha_cols.append(F.col("_mh").alias("_mha"))
+            hb_cols.append(F.col("_mh").alias("_mhb"))
         ha = (
-            hot.select(F.col("_id").alias("a_id"), "band_idx", "band_key", F.col("_chunk").alias("_ca"))
+            hot.select(*ha_cols)
             .withColumn("_cb", F.explode(chunks))
             .filter(F.col("_cb") >= F.col("_ca"))
         )
-        hb = hot.select(
-            F.col("_id").alias("b_id"), "band_idx", "band_key", F.col("_chunk").alias("_cb")
-        )
+        hb = hot.select(*hb_cols)
         # normalize with least/greatest, NOT a_id < b_id: a pair whose
         # smaller id sits in the higher chunk only appears as (big, small)
-        hot_pairs = (
-            ha.join(hb, ["band_idx", "band_key", "_cb"])
-            .filter(F.col("a_id") != F.col("b_id"))
-            .select(
-                F.least("a_id", "b_id").alias("a_id"),
-                F.greatest("a_id", "b_id").alias("b_id"),
-            )
+        hot_pairs = ha.join(hb, ["band_idx", "band_key", "_cb"]).filter(
+            F.col("a_id") != F.col("b_id")
+        )
+        if carry:
+            hot_pairs = hot_pairs.filter(_est >= est_tau)
+        hot_pairs = hot_pairs.select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
         )
         pairs = pairs.unionByName(hot_pairs)
 
@@ -251,6 +301,7 @@ def minhash_pairs(
     salt_chunks: int = 8,
     hash_fn=None,
     est_tau: float | None = None,
+    carry: str = "shingles",
 ) -> tuple[DataFrame, DataFrame]:
     """End-to-end detector: (verified pairs PAIRS-schema, dropped buckets).
 
@@ -258,10 +309,17 @@ def minhash_pairs(
     consumers (banding, and both sides of the Jaccard verify join); without
     it the explode+groupBy DAG re-executes per consumer. On a real cluster
     this is the stage-B Iceberg table (plans/pipeline.py writes it there).
+
+    ``est_tau`` is applied INSIDE the bucket self-join (candidate_pairs):
+    the minhash vector rides the band rows and junk candidates die before
+    the pair relation is shuffled — see candidate_pairs for the measured
+    combinatorics. verify_jaccard then does only the exact set verify.
     """
-    sigs = minhash_signatures(df, id_col, text_col, k, n_perm, seed, hash_fn)
+    sigs = minhash_signatures(df, id_col, text_col, k, n_perm, seed, hash_fn, carry)
     if checkpoint:
         sigs = sigs.localCheckpoint()
-    banded = band_keys(sigs, n_perm, n_bands)
-    cand, dropped = candidate_pairs(banded, max_bucket, salt_cap, salt_chunks)
-    return verify_jaccard(cand, sigs, tau, est_tau=est_tau), dropped
+    banded = band_keys(sigs, n_perm, n_bands, carry_mh=est_tau is not None)
+    cand, dropped = candidate_pairs(
+        banded, max_bucket, salt_cap, salt_chunks, est_tau=est_tau
+    )
+    return verify_jaccard(cand, sigs, tau, est_tau=None), dropped

@@ -21,6 +21,7 @@ could not skip completed work.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import asdict, dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -105,8 +106,6 @@ def run_pipeline(
     if sanity.counts_diverge:
         cat.log_metric("signatures", "dual_hash_counts_diverge", 1.0)
 
-    exact_p = cat.stage("pairs_exact", lambda: exact.exact_pairs(sigs_ok), "signatures")
-
     def _mh():
         pairs, dropped = minhash.minhash_pairs(
             sigs_ok, "image_id", "caption",
@@ -117,12 +116,11 @@ def run_pipeline(
             salt_chunks=config.minhash_salt_chunks,
             hash_fn=text.hash32,  # throughput-grade; oracle queries pass md5
             est_tau=config.minhash_est_tau,
+            carry="hashes",  # long sets, not strings: the fat shuffle column
         )
         n_dropped = dropped.count()
         cat.log_metric("pairs_minhash", "dropped_buckets", n_dropped)
         return pairs
-
-    mh_p = cat.stage("pairs_minhash", _mh, "signatures")
 
     def _sh():
         pairs, dropped = simhash.simhash_pairs(
@@ -133,17 +131,33 @@ def run_pipeline(
         cat.log_metric("pairs_simhash", "dropped_buckets", dropped.count())
         return pairs
 
-    sh_p = cat.stage("pairs_simhash", _sh, "signatures")
-
-    sub_p = cat.stage(
-        "pairs_substr",
-        lambda: substr.containment_pairs(
+    def _sub():
+        return substr.containment_pairs(
             sigs_ok, "image_id", "caption",
             k=config.substr_index_k, winnow_w=config.substr_winnow_w,
             sample_mod=config.substr_sample_mod,
-        ),
-        "signatures",
-    )
+        )
+
+    # The four detectors are independent consumers of the signatures table —
+    # submit them CONCURRENTLY (Spark job submission is thread-safe; tasks
+    # from in-flight jobs share the executors). Sequential stages leave the
+    # cluster underutilized during each stage's shuffle barriers and task
+    # tails — overlap fills those slots, and the effect grows with cluster
+    # size (at N executors one detector may saturate the cores; at 4N it
+    # cannot). Each stage still commits/resumes independently via Catalog.
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = {
+            "pairs_exact": pool.submit(
+                cat.stage, "pairs_exact", lambda: exact.exact_pairs(sigs_ok), "signatures"
+            ),
+            "pairs_minhash": pool.submit(cat.stage, "pairs_minhash", _mh, "signatures"),
+            "pairs_simhash": pool.submit(cat.stage, "pairs_simhash", _sh, "signatures"),
+            "pairs_substr": pool.submit(cat.stage, "pairs_substr", _sub, "signatures"),
+        }
+        exact_p = futs["pairs_exact"].result()
+        mh_p = futs["pairs_minhash"].result()
+        sh_p = futs["pairs_simhash"].result()
+        sub_p = futs["pairs_substr"].result()
 
     pairs = cat.stage(
         "pairs_all",

@@ -75,3 +75,53 @@ def test_winnowed_index_keeps_planted_containments(spark, images, corpus_rows, g
     }
     oracle = {(a, b) for a, b, d, _ in golden["pairs"] if d == "substr"}
     assert planted & oracle <= got
+
+
+def test_minhash_carry_hashes_equivalent(spark, images):
+    """carry='hashes' (array<long> sets through the fat shuffles) must yield
+    the same verified pair set as carry='shingles' — Jaccard over distinct
+    hashes differs only under crc32 collisions (~1e-5/pair odds)."""
+    a, _ = minhash.minhash_pairs(images, tau=0.6, hash_fn=text.hash32)
+    b, _ = minhash.minhash_pairs(images, tau=0.6, hash_fn=text.hash32, carry="hashes")
+    sa = {(r.a_id, r.b_id) for r in a.collect()}
+    sb = {(r.a_id, r.b_id) for r in b.collect()}
+    assert sa == sb
+
+
+def test_embedding_neardup_exact_vs_brute(spark):
+    """ann.neardup_pairs (banded signature + cosine verify) must equal the
+    brute-force application of its contract: hamming(sig) <= d AND cos >= tau."""
+    import itertools
+    import numpy as np
+
+    from tbdedup_spark.functions import vectors
+    from tbdedup_spark.operators import ann
+
+    rng = np.random.RandomState(7)
+    dim, n = 16, 60
+    base = rng.rand(10, dim)
+    rows = []
+    for i in range(n):
+        v = base[i % 10] + (rng.rand(dim) - 0.5) * (0.02 if i >= 10 else 0.0)
+        rows.append((f"v{i:03d}", [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id string, emb array<double>")
+    tau, n_bits, ham, bands = 0.95, 16, 3, 4
+    got = {
+        (r.a_id, r.b_id)
+        for r in ann.neardup_pairs(
+            df, "vec_id", "emb", tau=tau, n_bits=n_bits, dim=dim,
+            seed=42, max_hamming=ham, n_bands=bands, max_bucket=None,
+        ).collect()
+    }
+    proj = np.array(vectors.seeded_projections(n_bits, dim, 42))
+
+    def sig(v):
+        return sum(1 << j for j in range(n_bits) if proj[j] @ v > 0)
+
+    want = set()
+    for (ia, va), (ib, vb) in itertools.combinations(rows, 2):
+        a, b = np.array(va), np.array(vb)
+        cos = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+        if bin(sig(a) ^ sig(b)).count("1") <= ham and cos >= tau:
+            want.add(tuple(sorted((ia, ib))))
+    assert got == want and len(want) > 0
