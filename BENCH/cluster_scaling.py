@@ -39,9 +39,10 @@ MASTER_URL = "spark://127.0.0.1:7077"
 # (measured: sustained multiprocessing zlib) scales linearly only to ~16
 # procs and plateaus after — 16 physical cores + SMT. local[8]->local[32]
 # is therefore PHYSICALLY capped near 2x (efficiency 0.5) regardless of the
-# engine. The N and 4N levels are chosen inside the linear region:
-# 1 executor x 4 cores vs 4 executors x 4 cores (4 vs 16 cores).
-EXEC_CORES = int(os.environ.get("SCALE_EXEC_CORES", "4"))
+# engine. The N and 4N levels are chosen inside the linear region with
+# headroom for the driver + executor JVM service threads (GC, netty, python
+# workers): 1 executor x 3 cores vs 4 executors x 3 cores (3 vs 12 cores).
+EXEC_CORES = int(os.environ.get("SCALE_EXEC_CORES", "3"))
 
 
 def _wait_port(port: int, timeout: float = 60.0) -> None:
@@ -98,8 +99,12 @@ def run_level(cores_max: int, corpus: str, tag: str) -> dict:
 
 
 def main() -> None:
-    n_bases = int(os.environ.get("SCALE_N_BASES", "30000"))
-    trials = int(os.environ.get("SCALE_TRIALS", "5"))
+    # 240k bases (~600k rows, 34 GB): big enough that fixed driver/stage
+    # latency (~15-25 s/run) is <5% of the N-level wall — scaling efficiency
+    # is a property of the loaded region, and at the previous 30k the walls
+    # were so short that job-scheduling constants dominated the ratio.
+    n_bases = int(os.environ.get("SCALE_N_BASES", "240000"))
+    trials = int(os.environ.get("SCALE_TRIALS", "3"))
 
     sys.path.insert(0, ROOT)
     from scaling import ensure_corpus  # reuse the distributed generator
