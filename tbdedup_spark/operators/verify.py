@@ -144,11 +144,26 @@ def check_members(
         .distinct()
         .withColumnRenamed("_fid", "image_id")
     )
-    img_bytes = (
-        images.join(F.broadcast(ids), "image_id", "left_semi")
-        .select("image_id", "bytes")
-        .localCheckpoint()
-    )
+    # The residual id set is tiny by construction (cheap proofs cover ~99.9%
+    # of members), so push it down as an isin FILTER: parquet row-group stats
+    # + column-index page pruning then skip most of the bytes pages, where a
+    # broadcast semi-join must decompress the full bytes column (measured on
+    # a 17 GB corpus, 1190 residual ids: 33.5s semi-join scan vs 12.3s
+    # pushdown). Fallback to the semi-join if the residual is abnormally
+    # large (corrupt corpus) — an isin literal list has driver-size limits.
+    id_rows = [r.image_id for r in ids.collect()]
+    if len(id_rows) <= 100_000:
+        img_bytes = (
+            images.filter(F.col("image_id").isin(id_rows))
+            .select("image_id", "bytes")
+            .localCheckpoint()
+        )
+    else:
+        img_bytes = (
+            images.join(F.broadcast(ids), "image_id", "left_semi")
+            .select("image_id", "bytes")
+            .localCheckpoint()
+        )
     decoded = (
         residual.join(img_bytes.withColumnRenamed("bytes", "_mb"), "image_id")
         .join(

@@ -79,9 +79,17 @@ def run_pipeline(
     cfg = asdict(config)
     cat = Catalog(spark, warehouse, config_run_id(cfg))
 
+    # Repartition the narrow output before the commit: the signature relation
+    # otherwise inherits the WIDE input's split count (one task per ~16 MB of
+    # image bytes — 1000+ tiny files for a 300k-row corpus), which fragments
+    # every downstream detector scan and the footer count. The shuffle moves
+    # only the narrow columns (bytes never leave the decode stage).
+    n_out = spark.sparkContext.defaultParallelism
     sigs = cat.stage(
         "signatures",
-        lambda: exact.signatures(images, include_canonical=(config.hash_source == "canonical")),
+        lambda: exact.signatures(
+            images, include_canonical=(config.hash_source == "canonical")
+        ).repartition(n_out),
         input_ref="images",
     )
     # Rows whose pixels failed to decode carry a per-row DECODE_ERROR
@@ -145,6 +153,9 @@ def run_pipeline(
     # tails — overlap fills those slots, and the effect grows with cluster
     # size (at N executors one detector may saturate the cores; at 4N it
     # cannot). Each stage still commits/resumes independently via Catalog.
+    # 4-way measured best: 2-way serializes the small detectors behind the
+    # two big ones (+28s at 4 executors); the contention cost of full overlap
+    # is smaller than the tail-fill it buys.
     with ThreadPoolExecutor(max_workers=4) as pool:
         futs = {
             "pairs_exact": pool.submit(
@@ -158,6 +169,9 @@ def run_pipeline(
         mh_p = futs["pairs_minhash"].result()
         sh_p = futs["pairs_simhash"].result()
         sub_p = futs["pairs_substr"].result()
+    # barrier: every detector is committed, all live DataFrames are
+    # parquet-backed — drop the detectors' pinned checkpoint blocks
+    cat.release_cached()
 
     pairs = cat.stage(
         "pairs_all",
@@ -179,6 +193,8 @@ def run_pipeline(
         "pairs_all",
     )
 
+    cat.release_cached()  # union-find label checkpoints are committed
+
     # expensive invariant pass materialized once (PSNR decode UDF); the
     # verified/quarantine splits read its parquet, never re-decoding
     checked = cat.stage(
@@ -186,6 +202,7 @@ def run_pipeline(
         lambda: verify.check_members(clusters, images, config.min_psnr_db, sigs=sigs_ok),
         "clusters",
     )
+    cat.release_cached()
 
     def _verify():
         ok, quarantined = verify.split_verified(clusters, checked)
