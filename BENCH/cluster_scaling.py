@@ -41,8 +41,8 @@ MASTER_URL = "spark://127.0.0.1:7077"
 # is therefore PHYSICALLY capped near 2x (efficiency 0.5) regardless of the
 # engine. The N and 4N levels are chosen inside the linear region with
 # headroom for the driver + executor JVM service threads (GC, netty, python
-# workers): 1 executor x 3 cores vs 4 executors x 3 cores (3 vs 12 cores).
-EXEC_CORES = int(os.environ.get("SCALE_EXEC_CORES", "3"))
+# workers): 1 executor x 2 cores vs 4 executors x 2 cores (2 vs 8 cores).
+EXEC_CORES = int(os.environ.get("SCALE_EXEC_CORES", "2"))
 
 
 def _wait_port(port: int, timeout: float = 60.0) -> None:

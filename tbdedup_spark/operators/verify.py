@@ -230,13 +230,18 @@ def attach_evidence(
     filtered scan is a sliver of the corpus."""
     if images is None:
         return quarantined.withColumn("evidence_bytes", F.lit(None).cast("binary"))
-    ids = quarantined.select("image_id").distinct()
-    ev = (
-        images.join(F.broadcast(ids), "image_id", "left_semi")
-        .select(
-            "image_id",
-            F.when(F.length("bytes") <= evidence_cap, F.col("bytes")).alias("evidence_bytes"),
-        )
+    # same isin pushdown as check_members' residual fetch: quarantine is rare
+    # by construction, so the literal id list lets parquet skip bytes pages
+    # instead of decompressing the full column for a semi-join
+    id_rows = [r.image_id for r in quarantined.select("image_id").distinct().collect()]
+    if len(id_rows) <= 100_000:
+        src = images.filter(F.col("image_id").isin(id_rows))
+    else:
+        ids = quarantined.select("image_id").distinct()
+        src = images.join(F.broadcast(ids), "image_id", "left_semi")
+    ev = src.select(
+        "image_id",
+        F.when(F.length("bytes") <= evidence_cap, F.col("bytes")).alias("evidence_bytes"),
     )
     return quarantined.join(ev, "image_id", "left")
 
