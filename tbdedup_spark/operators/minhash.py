@@ -160,27 +160,12 @@ def candidate_pairs(
       bucket; its pairs are either worthless or recovered by the exact/
       caption-signature detector's star edges. Never silent.
     """
-    # Bucket sizes via groupBy+join, NOT a window: Window.partitionBy(bucket)
-    # would place an entire hot bucket on one task (the thing that OOMs at
-    # 10^12 rows); groupBy gets map-side partial aggregation and the join is
-    # AQE-skew-splittable. Materialized once: all three regimes and the
-    # dropped-bucket report derive from this relation.
     if salt_cap is not None and max_bucket is not None and salt_cap <= max_bucket:
         raise ValueError(
             f"salt_cap ({salt_cap}) must exceed max_bucket ({max_bucket}): the salted "
             "regime covers bucket sizes in (max_bucket, salt_cap]; salt_cap <= "
             "max_bucket would silently disable it while mis-reporting dropped mass"
         )
-    bsz = banded.groupBy("band_idx", "band_key").agg(F.count(F.lit(1)).alias("_bsz"))
-    sized = banded.join(bsz, ["band_idx", "band_key"]).localCheckpoint()
-    drop_over = (salt_cap or max_bucket) if max_bucket else None
-    dropped = (
-        sized.filter(F.col("_bsz") > drop_over)
-        .groupBy("band_idx", "band_key")
-        .agg(F.max("_bsz").alias("bucket_size"))
-        if drop_over
-        else sized.limit(0).groupBy("band_idx", "band_key").agg(F.max("_bsz").alias("bucket_size"))
-    )
 
     carry = est_tau is not None
     if carry and "_mh" not in banded.columns:
@@ -196,7 +181,41 @@ def candidate_pairs(
             cols.append(F.col("_mh").alias(mhn))
         return df.select(*cols)
 
-    kept = sized.filter(F.col("_bsz") <= max_bucket) if max_bucket else sized
+    if max_bucket is None:
+        # Uncapped (oracle) mode: no regime can apply — the plain band-key
+        # self-join needs no bucket sizes at all, so skip the groupBy + join
+        # + checkpoint below entirely. That machinery on this single-consumer
+        # path was a pure-latency materialization of the whole banded
+        # relation (measured: dedup_clusters 44.7s -> 73.0s when it ran
+        # unconditionally; restored by this branch).
+        empty_sized = banded.limit(0).withColumn("_bsz", F.lit(0).cast("long"))
+        dropped = empty_sized.groupBy("band_idx", "band_key").agg(
+            F.max("_bsz").alias("bucket_size")
+        )
+        pairs = (
+            _side(banded, "a_id", "_mha")
+            .join(_side(banded, "b_id", "_mhb"), ["band_idx", "band_key"])
+            .filter(F.col("a_id") < F.col("b_id"))
+        )
+        if carry:
+            pairs = pairs.filter(_est >= est_tau)
+        return pairs.select("a_id", "b_id").dropDuplicates(["a_id", "b_id"]), dropped
+
+    # Bucket sizes via groupBy+join, NOT a window: Window.partitionBy(bucket)
+    # would place an entire hot bucket on one task (the thing that OOMs at
+    # 10^12 rows); groupBy gets map-side partial aggregation and the join is
+    # AQE-skew-splittable. Materialized once: all three regimes and the
+    # dropped-bucket report derive from this relation.
+    bsz = banded.groupBy("band_idx", "band_key").agg(F.count(F.lit(1)).alias("_bsz"))
+    sized = banded.join(bsz, ["band_idx", "band_key"]).localCheckpoint()
+    drop_over = salt_cap or max_bucket
+    dropped = (
+        sized.filter(F.col("_bsz") > drop_over)
+        .groupBy("band_idx", "band_key")
+        .agg(F.max("_bsz").alias("bucket_size"))
+    )
+
+    kept = sized.filter(F.col("_bsz") <= max_bucket)
     pairs = (
         _side(kept, "a_id", "_mha")
         .join(_side(kept, "b_id", "_mhb"), ["band_idx", "band_key"])

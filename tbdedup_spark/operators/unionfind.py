@@ -64,10 +64,15 @@ def connected_components(
     start = 0
     if catalog is not None:
         # resume: the latest durable label commit wins (monotone labels make
-        # replaying the partial iteration after it idempotent)
+        # replaying the partial iteration after it idempotent). One catalog
+        # listing, not one exists() probe per candidate iteration.
+        pre = f"{ckpt_table}_iter"
         committed = sorted(
-            it for it in range(1, max_iter + 1)
-            if it % ckpt_every == 0 and catalog.exists(f"{ckpt_table}_iter{it:04d}")
+            it for it in (
+                int(t[len(pre):]) for t in catalog.list_tables(pre)
+                if t[len(pre):].isdigit()
+            )
+            if it % ckpt_every == 0 and it <= max_iter
         )
         if committed:
             start = committed[-1]

@@ -151,7 +151,10 @@ def check_members(
     # a 17 GB corpus, 1190 residual ids: 33.5s semi-join scan vs 12.3s
     # pushdown). Fallback to the semi-join if the residual is abnormally
     # large (corrupt corpus) — an isin literal list has driver-size limits.
-    id_rows = [r.image_id for r in ids.collect()]
+    # take(cap+1), never collect(): on exactly the corrupt corpus the guard
+    # exists for, an unbounded collect would pull the whole id set into the
+    # driver before the fallback could trigger.
+    id_rows = [r.image_id for r in ids.take(100_001)]
     if len(id_rows) <= 100_000:
         img_bytes = (
             images.filter(F.col("image_id").isin(id_rows))
@@ -232,8 +235,10 @@ def attach_evidence(
         return quarantined.withColumn("evidence_bytes", F.lit(None).cast("binary"))
     # same isin pushdown as check_members' residual fetch: quarantine is rare
     # by construction, so the literal id list lets parquet skip bytes pages
-    # instead of decompressing the full column for a semi-join
-    id_rows = [r.image_id for r in quarantined.select("image_id").distinct().collect()]
+    # instead of decompressing the full column for a semi-join. take(cap+1),
+    # never collect() — the driver must not hold an unbounded id list on the
+    # corrupt corpus the semi-join fallback exists for.
+    id_rows = [r.image_id for r in quarantined.select("image_id").distinct().take(100_001)]
     if len(id_rows) <= 100_000:
         src = images.filter(F.col("image_id").isin(id_rows))
     else:

@@ -50,8 +50,14 @@ class DedupConfig:
     minhash_salt_chunks: int = 8
     # estimated-Jaccard prefilter before the exact verify join (fraction of
     # equal minhash coords); ~tau/2 = 3+ sigma below tau at n_perm=16, so
-    # true pairs pass w.p. ~1-1e-5 while collision junk (J ~ 0.05) dies
-    minhash_est_tau: float = 0.3
+    # true pairs pass w.p. ~1-1e-5 while collision junk (J ~ 0.05) dies.
+    # CONTRACT NOTE: est_tau (with the crc32 hash + hash-set carry below)
+    # makes the pipeline's minhash detector probabilistic-recall, unlike the
+    # oracle-exact query path (md5 hash60, no prefilter): a true pair drops
+    # w.p. ~1e-5 and hash collisions can perturb scores near tau. Verified
+    # identical on the bench corpus; set minhash_est_tau=None (and pass
+    # hash_fn=None / carry="shingles") to restore exact recall.
+    minhash_est_tau: float | None = 0.3
     simhash_max_bucket: int = 1024
     # Containment-index knobs (operators/substr.py). The index shingle width
     # is INTERNAL to the detector (output identical for any k; docs shorter

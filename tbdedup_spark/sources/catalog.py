@@ -88,6 +88,15 @@ class Catalog:
                 )
             spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self._ns}")
         os.makedirs(warehouse, exist_ok=True)
+        # Blocks persisted BEFORE this run started are not ours to release:
+        # a caller-held localCheckpoint'ed DataFrame (lineage truncated —
+        # unrecomputable by design) must survive release_cached() in a
+        # shared session. Everything persisted after construction is treated
+        # as run-owned; callers interleaving their own persists with a live
+        # run should use a separate SparkSession.
+        self._preexisting_rdds = set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
 
     # --- tables ---------------------------------------------------------
 
@@ -101,6 +110,27 @@ class Catalog:
         if self.iceberg:
             return self.spark.catalog.tableExists(self._tbl(table))
         return os.path.exists(os.path.join(self._path(table), "_SUCCESS"))
+
+    def list_tables(self, prefix: str = "") -> list[str]:
+        """Committed table names for this run starting with ``prefix`` —
+        ONE catalog/filesystem listing, for callers probing many possible
+        checkpoints (unionfind resume previously issued one exists() per
+        candidate iteration)."""
+        if self.iceberg:
+            pre = f"{self.run_id}_{prefix}"
+            return sorted(
+                t.name[len(self.run_id) + 1:]
+                for t in self.spark.catalog.listTables(self._ns)
+                if t.name.startswith(pre)
+            )
+        run_dir = os.path.join(self.warehouse, self.run_id)
+        if not os.path.isdir(run_dir):
+            return []
+        return sorted(
+            t for t in os.listdir(run_dir)
+            if t.startswith(prefix)
+            and os.path.exists(os.path.join(run_dir, t, "_SUCCESS"))
+        )
 
     def read(self, table: str) -> DataFrame:
         if self.iceberg:
@@ -128,10 +158,16 @@ class Catalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        return self._footer_count(path)
+        n = self._footer_count(path)
+        if n is None:
+            # warehouse not driver-local POSIX (object store / DFS paths):
+            # os.walk sees nothing — count through Spark rather than
+            # silently recording row_count=0 in lineage/metrics
+            n = self.spark.read.parquet(path).count()
+        return n
 
     @staticmethod
-    def _footer_count(path: str) -> int:
+    def _footer_count(path: str) -> int | None:
         """Row count from parquet footers, driver-side — the count is free
         metadata; scheduling a Spark job per stage commit just to read it
         back added ~0.3s of serial driver time per stage. Footer reads are
@@ -145,6 +181,12 @@ class Catalog:
             for f in files
             if f.endswith(".parquet")
         ]
+        if not paths:
+            # zero .parquet files under os.walk: either the warehouse isn't
+            # driver-local POSIX, or the write emitted no part files at all.
+            # Both resolve correctly through the caller's Spark-count
+            # fallback instead of silently recording 0
+            return None
         if len(paths) <= 4:
             return sum(pq.read_metadata(p).num_rows for p in paths)
         from concurrent.futures import ThreadPoolExecutor
@@ -167,9 +209,19 @@ class Catalog:
         if self.iceberg:
             tbl = f"{self._ns}.{table}"
             df = self.spark.createDataFrame(rows, sch)
-            if not self.spark.catalog.tableExists(tbl):
-                df.writeTo(tbl).using("iceberg").create()
-            else:
+            # serialized under the same lock as the parquet path: two
+            # detector threads could both see tableExists()==False and race
+            # the create (bookkeeping rows are tiny, so holding the lock
+            # across the write is cheap); a cross-process racer losing the
+            # atomic Iceberg create is still caught and retried as append
+            with Catalog._seq_lock:
+                if not self.spark.catalog.tableExists(tbl):
+                    try:
+                        df.writeTo(tbl).using("iceberg").create()
+                        return
+                    except Exception:
+                        if not self.spark.catalog.tableExists(tbl):
+                            raise
                 df.writeTo(tbl).append()
             return
         import pyarrow as pa
@@ -217,19 +269,24 @@ class Catalog:
         return self.spark.read.parquet(os.path.join(self.warehouse, "metrics"))
 
     def release_cached(self) -> int:
-        """Unpersist every persistent RDD (localCheckpoint blocks included).
+        """Unpersist run-owned persistent RDDs (localCheckpoint blocks
+        included) — those that appeared after this Catalog was constructed.
 
         A committed stage's intermediate state lives on as pinned executor
         blocks (each detector localCheckpoints its signature/bucket
         relations); by the verify stages the executors carry gigabytes of
         DEAD blocks, and the resulting old-gen pressure showed up as a 4-5x
         slowdown of late scans at 4 executors. Safe at stage barriers ONLY:
-        every live DataFrame must be parquet-backed (``cat.read``), because
-        a localCheckpoint's lineage is truncated — its RDD cannot be
-        recomputed after unpersist."""
+        every live DataFrame this run holds must be parquet-backed
+        (``cat.read``), because a localCheckpoint's lineage is truncated —
+        its RDD cannot be recomputed after unpersist. Blocks persisted
+        before the run started (a caller's own checkpoints in a shared
+        session) are left alone."""
         sc = self.spark.sparkContext
         n = 0
-        for _rid, jrdd in sc._jsc.getPersistentRDDs().items():
+        for rid, jrdd in sc._jsc.getPersistentRDDs().items():
+            if rid in self._preexisting_rdds:
+                continue
             jrdd.unpersist(False)
             n += 1
         return n
@@ -245,24 +302,36 @@ class Catalog:
         if self.exists(name):
             return self.read(name)
         t0 = time.time()
-        stop = self._start_progress(name)
+        # Job-group scoping: the four detector stages run on concurrent
+        # threads, and the status tracker's active-stage list is global —
+        # without a per-thread group each stage's progress rows would count
+        # the other stages' tasks too. setJobGroup is thread-local (rides
+        # the thread's localProperties), so jobs submitted by build()/write()
+        # on THIS thread are tagged with the stage name.
+        group = f"{self.run_id}/{name}"
+        sc = self.spark.sparkContext
+        stop = self._start_progress(name, group)
         try:
+            sc.setJobGroup(group, f"stage {name}")
             df = build()
             n = self.write(df, name, partition_by)
         finally:
+            sc.setJobGroup(None, None)
             stop()
         self.log_lineage(name, input_ref, self._path(name), n, "OK")
         self.log_metric(name, "wall_clock_s", time.time() - t0)
         self.log_metric(name, "row_count", n)
         return self.read(name)
 
-    def _start_progress(self, stage_name: str):
+    def _start_progress(self, stage_name: str, job_group: str | None = None):
         """Within-stage progress rows — the O15 analog of the reference's
         per-file %-progress callback (tbdedup/dedup/__init__.py:94-107): a
         driver thread samples the status tracker every ``progress_interval``
         seconds and appends (tasks done, tasks total) metrics rows MID-RUN,
         so a long stage is observable from the metrics table while it runs.
-        Returns a stop() callable."""
+        ``job_group`` restricts the sample to jobs this stage submitted —
+        the concurrent detector stages otherwise cross-attribute each
+        other's tasks. Returns a stop() callable."""
         if not self.progress_interval or self.progress_interval <= 0:
             return lambda: None
         ev = threading.Event()
@@ -272,8 +341,16 @@ class Catalog:
             while not ev.wait(self.progress_interval):
                 try:
                     done = total = 0
-                    for sid in st.getActiveStageIds():
-                        info = st.getStageInfo(sid)
+                    if job_group is not None:
+                        sids = set()
+                        for jid in st.getJobIdsForGroup(job_group):
+                            jinfo = st.getJobInfo(jid)
+                            if jinfo:
+                                sids.update(jinfo.stageIds)
+                        infos = [st.getStageInfo(s) for s in sids]
+                    else:
+                        infos = [st.getStageInfo(s) for s in st.getActiveStageIds()]
+                    for info in infos:
                         if info:
                             done += info.numCompletedTasks
                             total += info.numTasks
