@@ -45,11 +45,28 @@ def main() -> None:
         .config("spark.executor.cores", str(args.executor_cores))
         .config("spark.executor.memory", args.executor_mem)
         .config("spark.driver.memory", "8g")
-        .config("spark.sql.shuffle.partitions", str(args.cores_max))
-        .config("spark.default.parallelism", str(args.cores_max))
+        # 4 waves of shuffle tasks, not 1: with partitions == cores a single
+        # hot band-key partition IS the stage wall (nothing to steal); at 4x
+        # the other cores keep draining the queue while the hot partition
+        # runs. Same formula at both levels, so the comparison stays fair.
+        .config("spark.sql.shuffle.partitions", str(4 * args.cores_max))
+        .config("spark.default.parallelism", str(4 * args.cores_max))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # defaults (256m/5x) never trigger at this corpus size — the hot
+        # LSH band partitions are tens of MB; split anything 4x over median
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32m")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "4")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", "file:///tmp/spark-events")
+        # FAIR, not FIFO: the four detector stages submit jobs concurrently,
+        # and under FIFO a 3ms bookkeeping task (schema inference, stage
+        # read-back) queues behind a 40s detector stage holding every core
+        # (measured: a 1-task DataFrameReader.parquet job waited 37s for a
+        # slot). One default fair pool is enough — round-robin across jobs.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.files.maxPartitionBytes", "16m")

@@ -90,7 +90,17 @@ def minhash_signatures(
     exploded = exploded_shingles(df, id_col, text_col, k).withColumn(
         "_h", hash_fn("_sh")
     )
-    carry_col = F.collect_set("_h" if carry == "hashes" else "_sh")
+    if carry == "hashes32":
+        # array<int> carry via a BIJECTIVE shift of the 32-bit crc32 domain
+        # ([0, 2^32) -> int32): any bijection preserves set equality, so
+        # intersect/union cardinalities — the verify Jaccard — are identical
+        # to the long form at half the bytes. This set column is the fat
+        # payload of the detector's every shuffle (measured 3.0 GB shuffle
+        # read in the verify+write stage of a 600k-row corpus). Requires a
+        # 32-bit base hash (hash_fn=text.hash32).
+        carry_col = F.collect_set((F.col("_h") - F.lit(2147483648)).cast("int"))
+    else:
+        carry_col = F.collect_set("_h" if carry == "hashes" else "_sh")
     return exploded.groupBy("_id").agg(
         *text.minhash_agg_cols("_h", n_perm, seed),
         carry_col.alias("_shingles"),
@@ -98,31 +108,51 @@ def minhash_signatures(
 
 
 def band_keys(
-    sigs: DataFrame, n_perm: int = 16, n_bands: int = 8, carry_mh: bool = False
+    sigs: DataFrame,
+    n_perm: int = 16,
+    n_bands: int = 8,
+    carry_mh: bool = False,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """(id, band_idx, band_key[, _mh]): concat r=n_perm/n_bands minhashes per band.
 
-    ``carry_mh`` adds the full minhash vector (array<long>, ~n_perm*8 bytes)
-    to every band row so the bucket self-join can estimate Jaccard INSIDE the
-    join (see ``candidate_pairs(est_tau=...)``) — the payload is n_bands-way
-    replicated but tiny next to the candidate-pair relation it prevents."""
+    ``carry_mh`` adds the minhash vector to every band row so the bucket
+    self-join can estimate Jaccard INSIDE the join (see
+    ``candidate_pairs(est_tau=...)``) — carried as array<int> (each 61-bit
+    coord folded mod 2^31-1): the est filter only tests COORD EQUALITY, which
+    the fold preserves for true equals, and a false coord-equal (~2^-31 per
+    unequal coord) can only add a candidate for the exact verify to reject.
+    Half the bytes of the long form on the join's both sides.
+
+    ``hash_keys`` (throughput paths): band_key = xxhash64 of the band's
+    coords (8 bytes) instead of the "-"-joined decimal string (~40 bytes for
+    r=2 61-bit coords). A band-key hash collision merges two buckets —
+    adds candidates at ~2^-64 odds, removed by the exact verify. Oracle
+    paths keep strings: DuckDB mirrors concat_ws, not xxhash64."""
     r = n_perm // n_bands
     assert r * n_bands == n_perm, "n_perm must be divisible by n_bands"
+    if hash_keys:
+        key = lambda t: F.xxhash64(*[F.col(f"mh{t * r + j}") for j in range(r)])
+    else:
+        key = lambda t: F.concat_ws("-", *[F.col(f"mh{t * r + j}") for j in range(r)])
     bands = F.array(
         *[
-            F.struct(
-                F.lit(t).alias("band_idx"),
-                F.concat_ws("-", *[F.col(f"mh{t * r + j}") for j in range(r)]).alias(
-                    "band_key"
-                ),
-            )
+            F.struct(F.lit(t).alias("band_idx"), key(t).alias("band_key"))
             for t in range(n_bands)
         ]
     )
     cols = [F.col("_id"), F.explode(bands).alias("b")]
     out = ["_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")]
     if carry_mh:
-        cols.insert(1, F.array(*[F.col(f"mh{j}") for j in range(n_perm)]).alias("_mh"))
+        cols.insert(
+            1,
+            F.array(
+                *[
+                    F.pmod(F.col(f"mh{j}"), F.lit(2147483647)).cast("int")
+                    for j in range(n_perm)
+                ]
+            ).alias("_mh"),
+        )
         out.insert(1, F.col("_mh"))
     return sigs.select(*cols).select(*out)
 
@@ -321,6 +351,7 @@ def minhash_pairs(
     hash_fn=None,
     est_tau: float | None = None,
     carry: str = "shingles",
+    hash_band_keys: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """End-to-end detector: (verified pairs PAIRS-schema, dropped buckets).
 
@@ -337,7 +368,9 @@ def minhash_pairs(
     sigs = minhash_signatures(df, id_col, text_col, k, n_perm, seed, hash_fn, carry)
     if checkpoint:
         sigs = sigs.localCheckpoint()
-    banded = band_keys(sigs, n_perm, n_bands, carry_mh=est_tau is not None)
+    banded = band_keys(
+        sigs, n_perm, n_bands, carry_mh=est_tau is not None, hash_keys=hash_band_keys
+    )
     cand, dropped = candidate_pairs(
         banded, max_bucket, salt_cap, salt_chunks, est_tau=est_tau
     )

@@ -130,7 +130,10 @@ def run_pipeline(
             salt_chunks=config.minhash_salt_chunks,
             hash_fn=text.hash32,  # throughput-grade; oracle queries pass md5
             est_tau=config.minhash_est_tau,
-            carry="hashes",  # long sets, not strings: the fat shuffle column
+            # int sets, not strings/longs: the fat shuffle column, and the
+            # bijective int32 fold keeps verify Jaccard exactly equal
+            carry="hashes32",
+            hash_band_keys=True,  # 8-byte band join keys (see band_keys)
         )
         n_dropped = dropped.count()
         cat.log_metric("pairs_minhash", "dropped_buckets", n_dropped)

@@ -86,6 +86,14 @@ def test_minhash_carry_hashes_equivalent(spark, images):
     sa = {(r.a_id, r.b_id) for r in a.collect()}
     sb = {(r.a_id, r.b_id) for r in b.collect()}
     assert sa == sb
+    # the pipeline's throughput form: int32-folded carry sets (bijective
+    # shift — Jaccard identical), hashed 8-byte band keys, in-join est filter
+    c, _ = minhash.minhash_pairs(
+        images, tau=0.6, hash_fn=text.hash32, carry="hashes32",
+        hash_band_keys=True, est_tau=0.3,
+    )
+    sc_ = {(r.a_id, r.b_id) for r in c.collect()}
+    assert sa == sc_
 
 
 def test_embedding_neardup_exact_vs_brute(spark):
