@@ -223,6 +223,21 @@ def _q_ann_lsh(spark, sf_dir):
     return out.select("probe_id", "neighbor_id", "score", F.col("rank").alias("rnk"))
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN (operators/ann.ivf_topk): spherical-k-means
+    codebook on a bounded sample, Voronoi-cell equi-join, exact cosine inside
+    probed cells. Approximate by construction (k-means isn't SQL-expressible),
+    so no oracle_sql entry — the driver's rows-only check applies; recall vs
+    brute force is gated in tests/test_round3.py instead."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    out = ann.ivf_topk(
+        e, probes, "vec_id", "embedding", k=ANN_K,
+        n_centroids=16, n_probe=4, seed=SEED,
+    )
+    return out.select("probe_id", "neighbor_id", "score", F.col("rank").alias("rnk"))
+
+
 # --- generic relational operators (SURVEY §2 mappings on TPC-H tables) -------
 
 
@@ -691,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "ann_topk_bruteforce": _q_ann_bruteforce,
         "ann_topk_lsh": _q_ann_lsh,
+        "ann_topk_ivf": _q_ann_ivf,
         "embedding_neardup_pairs": _q_embedding_neardup,
         "scan_filter_project": _q_scan_filter,
         "group_agg": _q_group_agg,

@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "group_agg",
     "topk_per_group",
     "broadcast_join_agg",

@@ -190,3 +190,64 @@ def phash64(pixels: np.ndarray) -> int:
     for i, b in enumerate(bits):
         val |= int(b) << i
     return val - (1 << 64) if val >= (1 << 63) else val
+
+
+# --- audio: RIFF/WAVE PCM16 (a REAL format — stdlib-grade parse) -------------
+#
+# Unlike image/video, audio needs no external codec for a faithful end-to-end
+# path: PCM16 WAV is a 44-byte RIFF header + raw samples, fully decodable
+# with struct + numpy. The reference parses every payload type its record
+# split yields (tbdedup/mbox/mboxfile.py:187-344); this is the audio analog.
+
+_WAV_RIFF = b"RIFF"
+_WAV_WAVE = b"WAVE"
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """PCM16 RIFF/WAVE encoder. ``samples``: int16 array, shape (n,) mono or
+    (n, ch); float inputs in [-1, 1] are quantized to int16. Files play in
+    any standard audio tool."""
+    pcm = np.asarray(samples)
+    if pcm.dtype != np.int16:
+        pcm = np.clip(np.asarray(pcm, np.float64), -1.0, 1.0)
+        pcm = np.round(pcm * 32767.0).astype(np.int16)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n, ch = pcm.shape
+    data = pcm.astype("<i2").tobytes()
+    block_align = ch * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, rate, rate * block_align, block_align, 16
+    )  # PCM, channels, rate, byte rate, block align, bits
+    body = (
+        _WAV_WAVE
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return _WAV_RIFF + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """(samples int16 shape (n, ch), sample_rate) from PCM16 RIFF/WAVE.
+    Walks the chunk list (tolerates extra chunks like LIST/INFO); raises
+    ValueError on non-RIFF bytes or non-PCM16 encodings."""
+    if len(data) < 12 or data[:4] != _WAV_RIFF or data[8:12] != _WAV_WAVE:
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, rate, ch, bits, pcm = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        payload = data[pos + 8:pos + 8 + size]
+        if tag == b"fmt ":
+            if len(payload) < 16:
+                raise ValueError("truncated fmt chunk")
+            codec, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", payload[:16])
+            if codec != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV encoding codec={codec} bits={bits}")
+        elif tag == b"data":
+            pcm = payload
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or pcm is None or not ch:
+        raise ValueError("missing fmt/data chunk")
+    usable = len(pcm) - (len(pcm) % (2 * ch))
+    return np.frombuffer(pcm[:usable], "<i2").reshape(-1, ch), rate

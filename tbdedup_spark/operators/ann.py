@@ -162,3 +162,114 @@ def neardup_pairs(
         .filter(F.col("score") >= tau)
         .select("a_id", "b_id", "score")
     )
+
+
+def _kmeans_centroids(
+    samples, n_centroids: int, iters: int, seed: int
+):
+    """Driver-side spherical k-means over a bounded sample (numpy, BLAS
+    matmuls). Deterministic: seeded farthest-point-ish init (kmeans++ with a
+    seeded RNG), fixed iteration count, ties broken by index. Returns
+    L2-normalized centroids shaped (K, dim)."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    x = x[norms > 0] / norms[norms > 0][:, None]
+    rng = np.random.RandomState(seed)
+    k = min(n_centroids, x.shape[0])
+    # kmeans++ seeding
+    idx = [int(rng.randint(x.shape[0]))]
+    d2 = np.full(x.shape[0], np.inf)
+    for _ in range(1, k):
+        d2 = np.minimum(d2, 1.0 - x @ x[idx[-1]])
+        p = np.clip(d2, 1e-12, None)
+        idx.append(int(rng.choice(x.shape[0], p=p / p.sum())))
+    c = x[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(k):
+            m = x[assign == j]
+            if len(m):
+                v = m.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    c[j] = v / n
+    return c
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    sample_n: int = 20_000,
+    kmeans_iters: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    path next to ``topk_lsh``: vectors are partitioned into ``n_centroids``
+    Voronoi cells of a spherical-k-means codebook; each probe scores only
+    the rows of its ``n_probe`` nearest cells.
+
+    Scale shape: the codebook trains on a driver-side sample taken with
+    ``orderBy(xxhash64(id)).limit(sample_n)`` — Spark executes that as
+    TakeOrderedAndProject (map-side partial top-k, no global sort
+    materialization), so the sample cost is one narrow pass regardless of
+    corpus size. Cell assignment is ONE Arrow-batched pandas UDF doing a
+    BLAS matmul per batch (batch x dim @ dim x K — the documented
+    vectorized-UDF exception to the built-ins-only rule), the cell join is
+    an equi-join on a small int key, and the embeddings never leave their
+    rows. Recall is approximate by construction (measured vs brute force in
+    tests); output schema matches ``topk_bruteforce``, ranks within found
+    candidates."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    sample_rows = (
+        corpus.select(F.col(vec_col).alias("_v"), F.col(id_col).alias("_sid"))
+        .orderBy(F.xxhash64(F.col("_sid")))
+        .limit(sample_n)
+        .collect()
+    )
+    cents = _kmeans_centroids([r._v for r in sample_rows], n_centroids, kmeans_iters, seed)
+    ct = cents.T.copy()  # dim x K, closed over (broadcast with the UDF)
+    n_pr = min(n_probe, cents.shape[0])
+
+    # no type hints: pandas_udf would try to resolve the stringified
+    # annotations (__future__.annotations) against module globals
+    def _cells_fn(vs):
+        m = np.stack(vs.to_numpy())  # B x dim
+        scores = m @ ct  # B x K
+        top = np.argsort(-scores, axis=1)[:, :n_pr]  # ties: lower index wins
+        return pd.Series(list(top.astype(np.int32)))
+
+    cells_udf = pandas_udf(_cells_fn, T.ArrayType(T.IntegerType()))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.element_at(cells_udf(F.col(vec_col)), 1).alias("_cell"),
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("_pv"),
+        F.explode(cells_udf(F.col(vec_col))).alias("_cell"),
+    )
+    cand = (
+        c.join(p, "_cell")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .dropDuplicates(["probe_id", "neighbor_id"])
+        .withColumn("score", vectors.cosine("_pv", "_cv"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    )

@@ -2,10 +2,11 @@
 metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing (schemas, batch iteration, partition behavior, UDF
-signatures) is real and tested; the media codecs are the sandbox stand-ins
-from ``codecs.py`` (this container ships no libjpeg/ffmpeg/librosa — the
-audio/video decoders are explicit ``NotImplementedError`` stubs or
-deterministic fakes, clearly marked, exactly per the build contract).
+signatures) is real and tested; the media codecs are from ``codecs.py``:
+image = spec-conformant PNG subset + clearly-marked fake JPEG, audio = REAL
+PCM16 WAV (RIFF parses with struct+numpy, no external lib needed), video =
+a deterministic fake container (this sandbox ships no ffmpeg), each marked
+at its definition per the build contract.
 
 Scale shape: every operator is a map-only stage (no shuffle), so it scales
 with input splits; heavy per-row work stays in C (zlib/numpy). Feature
@@ -103,8 +104,14 @@ _FAKE_VIDEO_MAGIC = b"FVID0001"  # our deterministic fake container
 AUDIO_FEATURES = T.StructType(
     [
         T.StructField("media_id", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
         T.StructField("duration_s", T.DoubleType()),
         T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
+        T.StructField("spectral_centroid_hz", T.DoubleType()),
+        T.StructField("decode_ok", T.BooleanType()),
     ]
 )
 
@@ -138,17 +145,46 @@ def decode_fake_video(data: bytes) -> list[np.ndarray]:
 
 
 def audio_features(media: DataFrame, id_col: str = "media_id", bytes_col: str = "bytes") -> DataFrame:
-    """STUB: no audio codec in this container. The mapInPandas plumbing is
-    real; decode raises NotImplementedError per row, surfaced as nulls
-    (callers see schema + partitioning exactly as the real version will)."""
+    """REAL audio decode + features over PCM16 WAV binary columns (RIFF is
+    parseable with struct+numpy — no external codec needed, unlike image/
+    video). Map-only Arrow-batched stage; per-row decode failures surface as
+    ``decode_ok=False`` rows, never aborts — the same error contract as the
+    reference's record split (tbdedup/mbox/mboxfile.py:187-344) and our
+    image path. Compressed formats (mp3/ogg/flac) would slot into the same
+    fn with a real codec lib; their absence here only narrows the accepted
+    container, not the plumbing.
+
+    Features (all C-backed numpy): duration, RMS and peak of the [-1,1]
+    normalized mono mix, zero-crossing rate, and the spectral centroid from
+    an rFFT over the first <=2^17 samples (deterministic cap so one 3-hour
+    row cannot own a task)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for mid in pdf[id_col]:
-                # real impl: librosa/soundfile decode -> duration, RMS
-                out.append((mid, None, None))
-            yield pd.DataFrame(out, columns=["media_id", "duration_s", "rms"])
+            for mid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    pcm, rate = codecs.decode_wav(bytes(raw))
+                    mono = pcm.astype(np.float64).mean(axis=1) / 32768.0
+                    n = mono.shape[0]
+                    dur = n / float(rate)
+                    rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
+                    peak = float(np.abs(mono).max()) if n else 0.0
+                    zcr = (
+                        float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                        if n > 1 else 0.0
+                    )
+                    head = mono[: 1 << 17]
+                    mag = np.abs(np.fft.rfft(head))
+                    freqs = np.fft.rfftfreq(head.shape[0], d=1.0 / rate)
+                    tot = mag.sum()
+                    cent = float((freqs * mag).sum() / tot) if tot > 0 else 0.0
+                    out.append(
+                        (mid, rate, pcm.shape[1], dur, rms, peak, zcr, cent, True)
+                    )
+                except Exception:
+                    out.append((mid, None, None, None, None, None, None, None, False))
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FEATURES.fields])
 
     return media.select(id_col, bytes_col).mapInPandas(fn, AUDIO_FEATURES)
 

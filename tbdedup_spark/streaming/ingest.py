@@ -93,3 +93,72 @@ def stream_signatures_from_containers(
         .outputMode("append")
         .start()
     )
+
+
+def stream_dedup_first_seen(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    include_canonical: bool = True,
+    state_ttl_hours: int = 24,
+    max_files_per_trigger: int = 16,
+) -> StreamingQuery:
+    """Streaming exact-dedup: emit only the FIRST row ever seen per canonical
+    signature; later arrivals of the same signature are dropped — the
+    streaming analog of the reference's take-first-per-hash rule
+    (tbdedup/dedup/__init__.py:156-157) with explicit bounded state.
+
+    Custom stateful operator via ``applyInPandasWithState`` (the documented
+    path for semantics ``dropDuplicates`` can't express): state per signature
+    group is ONE small row (first image_id + count), Arrow-batched, and aged
+    out by a processing-time TTL — at web scale an unbounded seen-set is the
+    thing that kills streaming dedup, so the TTL is part of the contract
+    (after expiry a re-arriving signature is emitted again; the periodic
+    batch dedup over the accumulated table reconciles, same lambda split as
+    the module docstring describes)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(schema.IMAGES)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(input_dir)
+    )
+    sigs = exact.signatures(stream, include_canonical=include_canonical)
+    out_cols = [f.name for f in schema.SIGNATURES.fields]
+
+    def first_seen(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = state.get[0] if state.exists else 0
+        emit_here = seen == 0  # this trigger owns the group's first emit
+        best = None
+        for pdf in pdfs:
+            if emit_here and len(pdf):
+                # deterministic within the trigger: smallest image_id wins,
+                # scanned across ALL of the group's chunks before emitting
+                m = pdf.loc[[pdf["image_id"].idxmin()]]
+                if best is None or m.iloc[0]["image_id"] < best.iloc[0]["image_id"]:
+                    best = m
+            seen += len(pdf)
+        if best is not None:
+            yield best[out_cols]
+        state.update((seen,))
+        state.setTimeoutDuration(state_ttl_hours * 3600 * 1000)
+
+    deduped = sigs.groupBy("sig").applyInPandasWithState(
+        first_seen,
+        outputStructType=schema.SIGNATURES,
+        stateStructType="seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -45,9 +45,38 @@ def test_frame_sample_flatmap(spark):
     assert f0.shape == (16, 24, 3)
 
 
-def test_audio_stub_schema(spark):
-    df = spark.createDataFrame([("a1", b"\x00\x01")], "media_id string, bytes binary")
+def test_audio_features_real_wav(spark):
+    """End-to-end audio: PCM16 WAV rows decode to real features; garbage
+    bytes become decode_ok=False rows (error rows, not aborts)."""
+    rate = 8000
+    t = np.arange(rate * 2) / rate  # 2 s
+    tone = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float64)
+    silence = np.zeros(rate // 2)
+    rows = [
+        ("tone", codecs.encode_wav(tone, rate)),
+        ("silence", codecs.encode_wav(silence, rate)),
+        ("stereo", codecs.encode_wav(np.stack([tone, -tone], axis=1), rate)),
+        ("bad", b"\x00\x01not-audio"),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary")
     out = multimodal.audio_features(df)
     assert out.schema == multimodal.AUDIO_FEATURES
-    rows = out.collect()
-    assert rows[0].media_id == "a1" and rows[0].duration_s is None
+    by_id = {r.media_id: r for r in out.collect()}
+
+    r = by_id["tone"]
+    assert r.decode_ok and r.sample_rate == rate and r.channels == 1
+    assert abs(r.duration_s - 2.0) < 1e-9
+    assert abs(r.rms - 0.5 / np.sqrt(2)) < 1e-3  # sine RMS = A/sqrt(2)
+    assert abs(r.peak - 0.5) < 1e-3
+    assert abs(r.spectral_centroid_hz - 440.0) < 15.0  # energy at the tone
+    assert abs(r.zcr - 2 * 440.0 / rate) < 0.01  # 2 crossings per cycle
+
+    s = by_id["silence"]
+    assert s.decode_ok and s.rms == 0.0 and s.spectral_centroid_hz == 0.0
+
+    st = by_id["stereo"]
+    # opposite-phase channels cancel in the mono mix
+    assert st.channels == 2 and st.rms < 1e-6
+
+    bad = by_id["bad"]
+    assert bad.decode_ok is False and bad.duration_s is None

@@ -41,3 +41,38 @@ def test_stream_signatures(spark, corpus_rows, tmp_path):
         assert set(got.columns) >= {"image_id", "sig", "disk_sig", "caption_sig"}
     finally:
         q.stop()
+
+
+def test_stream_dedup_first_seen(spark, corpus_rows, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): only the first row
+    per canonical signature is emitted, across micro-batches."""
+    from tbdedup_spark.streaming.ingest import stream_dedup_first_seen
+
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inp)
+
+    rows = synth.to_spark_rows(corpus_rows[:30])
+    _land(spark, rows, inp, "b1")
+    q = stream_dedup_first_seen(spark, inp, outp, ckpt, include_canonical=False)
+    try:
+        q.processAllAvailable()
+        got1 = spark.read.parquet(outp)
+        n_sigs_b1 = got1.select("sig").distinct().count()
+        assert got1.count() == n_sigs_b1  # exactly one row per signature
+        # batch 2 replays the same rows -> their sigs are in state, nothing
+        # new lands; plus genuinely new rows -> only their first occurrences
+        _land(spark, rows + synth.to_spark_rows(corpus_rows[30:40]), inp, "b2")
+        q.processAllAvailable()
+        got2 = spark.read.parquet(outp)
+        assert got2.count() == got2.select("sig").distinct().count()
+        assert got2.count() >= n_sigs_b1  # monotone, no replayed dupes
+        sigs_b1 = {r.sig for r in got1.collect()}
+        # every batch-1 signature appears exactly once in the final output
+        from collections import Counter
+
+        final = Counter(r.sig for r in got2.collect())
+        assert all(final[s] == 1 for s in sigs_b1)
+    finally:
+        q.stop()
