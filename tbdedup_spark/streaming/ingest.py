@@ -101,7 +101,7 @@ def stream_dedup_first_seen(
     output_dir: str,
     checkpoint_dir: str,
     include_canonical: bool = True,
-    state_ttl_hours: int = 24,
+    state_ttl_hours: int | None = 24,
     max_files_per_trigger: int = 16,
 ) -> StreamingQuery:
     """Streaming exact-dedup: emit only the FIRST row ever seen per canonical
@@ -116,7 +116,14 @@ def stream_dedup_first_seen(
     thing that kills streaming dedup, so the TTL is part of the contract
     (after expiry a re-arriving signature is emitted again; the periodic
     batch dedup over the accumulated table reconciles, same lambda split as
-    the module docstring describes)."""
+    the module docstring describes).
+
+    ``state_ttl_hours=None`` disables the timeout (NoTimeout): state lives
+    for the query's lifetime. Use it for bounded replays and in tests —
+    with a processing-time timeout Spark schedules perpetual state-cleanup
+    micro-batches, so ``processAllAvailable()`` (a test/backfill utility)
+    never observes a quiescent stream and blocks forever; a production
+    24/7 query wants exactly those cleanup batches, a finite run does not."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     stream = (
@@ -146,14 +153,19 @@ def stream_dedup_first_seen(
         if best is not None:
             yield best[out_cols]
         state.update((seen,))
-        state.setTimeoutDuration(state_ttl_hours * 3600 * 1000)
+        if state_ttl_hours is not None:
+            state.setTimeoutDuration(state_ttl_hours * 3600 * 1000)
 
     deduped = sigs.groupBy("sig").applyInPandasWithState(
         first_seen,
         outputStructType=schema.SIGNATURES,
         stateStructType="seen long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_hours is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     return (
         deduped.writeStream.format("parquet")

@@ -55,7 +55,7 @@ def test_stream_dedup_first_seen(spark, corpus_rows, tmp_path):
 
     rows = synth.to_spark_rows(corpus_rows[:30])
     _land(spark, rows, inp, "b1")
-    q = stream_dedup_first_seen(spark, inp, outp, ckpt, include_canonical=False)
+    q = stream_dedup_first_seen(spark, inp, outp, ckpt, include_canonical=False, state_ttl_hours=None)
     try:
         q.processAllAvailable()
         got1 = spark.read.parquet(outp)
