@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tbdedup_spark.functions import text, vectors
-from tbdedup_spark.operators import ann, minhash, setsim, simhash, substr, unionfind
+from tbdedup_spark.operators import ann, asof, minhash, setsim, simhash, substr, unionfind
 
 # --- shared detector config (same constants on both engines) -----------------
 K = 5            # shingle width
@@ -340,6 +340,57 @@ def _q_sessionize(spark, sf_dir):
         e.withColumn("brk", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
         .groupBy("user_id")
         .agg(F.sum("brk").alias("n_sessions"))
+    )
+
+
+def _q_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): every click matched to the user's
+    most recent view at or before it. Spark lacks a native ASOF JOIN; the
+    operator is the union+window composition — one shuffle by key, one
+    ordered scan — and DuckDB's native ASOF LEFT JOIN is the oracle.
+    Views are pre-aggregated to one row per (user, ts) in BOTH engines so
+    the equal-timestamp tie rule cannot differ. Timestamps are returned as
+    epoch microseconds (engine-neutral)."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof.asof_join(clicks, views, by="user_id", time_col="ts", right_cols=["view_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_us"),
+        F.unix_micros(F.col("ts_r").cast("timestamp")).alias("view_us"),
+        F.round("view_value_r", 6).alias("view_value"),
+    )
+
+
+def _q_bpe_token_counts(spark, sf_dir):
+    """BPE-ish regex tokenization (letters / digits / single punctuation
+    runs — the GPT-2 pre-tokenizer shape) next to the whitespace count;
+    the class pattern means Java regex and RE2 agree symbol-for-symbol."""
+    d = _t(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias("bpe_tokens"),
+        F.length("text").alias("chars"),
+    )
+
+
+def _q_rollup_agg(spark, sf_dir):
+    """ROLLUP aggregate (subtotal hierarchy) over orders."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("double")), 2).alias("sum_price"),
+        )
     )
 
 
@@ -688,6 +739,35 @@ m AS (
 )
 SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions FROM m GROUP BY user_id
 """,
+        "asof_join": """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, ts, MAX(value) AS view_value FROM events
+  WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       epoch_us(c.ts) AS click_us,
+       epoch_us(v.ts) AS view_us,
+       round(v.view_value, 6) AS view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+""",
+        "bpe_token_counts": r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens,
+       CAST(length(text) AS INT) AS chars
+FROM documents
+""",
+        "rollup_agg": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(SUM(CAST(o_totalprice AS DOUBLE)), 2) AS sum_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
     }
 
 
@@ -717,6 +797,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_filter": _q_regex_filter,
         "set_ops": _q_set_ops,
         "sessionize": _q_sessionize,
+        "asof_join": _q_asof_join,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "rollup_agg": _q_rollup_agg,
     }
 
 

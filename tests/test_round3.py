@@ -127,3 +127,49 @@ def test_unionfind_delta_regime_chain(spark):
         ).collect()
     }
     assert out == full
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: greatest right ts <= left ts per key; no prior row ->
+    nulls; tolerance nulls too-old matches; equal-ts right row is eligible."""
+    from datetime import datetime as dt
+
+    from tbdedup_spark.operators import asof
+
+    L = spark.createDataFrame(
+        [
+            (1, "u1", dt(2024, 1, 1, 10, 0, 0)),
+            (2, "u1", dt(2024, 1, 1, 12, 0, 0)),
+            (3, "u2", dt(2024, 1, 1, 9, 0, 0)),   # before any right row
+            (4, "u2", dt(2024, 1, 1, 11, 0, 0)),  # equal-ts right row counts
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    R = spark.createDataFrame(
+        [
+            ("u1", dt(2024, 1, 1, 9, 30, 0), 1.0),
+            ("u1", dt(2024, 1, 1, 11, 59, 0), 2.0),
+            ("u2", dt(2024, 1, 1, 11, 0, 0), 3.0),
+        ],
+        "user_id string, ts timestamp, v double",
+    )
+    out = {
+        r.event_id: (r.ts_r, r.v_r)
+        for r in asof.asof_join(L, R, by="user_id", time_col="ts", right_cols=["v"]).collect()
+    }
+    assert out[1] == (dt(2024, 1, 1, 9, 30, 0), 1.0)
+    assert out[2] == (dt(2024, 1, 1, 11, 59, 0), 2.0)
+    assert out[3] == (None, None)
+    assert out[4] == (dt(2024, 1, 1, 11, 0, 0), 3.0)
+
+    # tolerance: u1's 12:00 click only matches within 60s -> 11:59 ok;
+    # u1's 10:00 click is 30min from 9:30 -> nulled
+    tol = {
+        r.event_id: (r.ts_r, r.v_r)
+        for r in asof.asof_join(
+            L, R, by="user_id", time_col="ts", right_cols=["v"], tolerance_s=60
+        ).collect()
+    }
+    assert tol[2] == (dt(2024, 1, 1, 11, 59, 0), 2.0)
+    assert tol[1] == (None, None)
+    assert tol[4] == (dt(2024, 1, 1, 11, 0, 0), 3.0)
