@@ -117,11 +117,23 @@ def _q_substr(spark, sf_dir):
 
 def _q_clusters(spark, sf_dir):
     """Flagship: union of detector edges → distributed union-find →
-    (doc_id, cluster_id)."""
+    (doc_id, cluster_id).
+
+    The two detector subtrees are CONSTRUCTED on concurrent threads: each
+    eagerly materializes its signature/index checkpoints at build time, so
+    sequential construction would serialize those jobs even though Spark
+    could overlap them (job submission is thread-safe — the same pattern as
+    plans/pipeline.py's detector stages)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     d = _t(spark, sf_dir, "documents")
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        mh_f = pool.submit(_minhash_pairs_df, spark, sf_dir)
+        sub_f = pool.submit(_substr_pairs_df, spark, sf_dir)
+        mh, sub = mh_f.result(), sub_f.result()
     edges = (
-        _minhash_pairs_df(spark, sf_dir).select("a_id", "b_id")
-        .unionByName(_substr_pairs_df(spark, sf_dir).select("a_id", "b_id"))
+        mh.select("a_id", "b_id")
+        .unionByName(sub.select("a_id", "b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
     return unionfind.connected_components(d.select("doc_id"), edges, id_col="doc_id")

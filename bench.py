@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "ann_topk_ivf",
     "group_agg",
     "topk_per_group",
+    "asof_join",
     "broadcast_join_agg",
     "sessionize",
 ]
