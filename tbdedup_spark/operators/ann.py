@@ -251,10 +251,18 @@ def ivf_topk(
 
     cells_udf = pandas_udf(_cells_fn, T.ArrayType(T.IntegerType()))
 
+    # coalesce makes the join key provably non-null, so the equi-join's
+    # IsNotNull(_cell) null-rejection folds away instead of being pushed
+    # below the projection — where it forced a SECOND ArrowEvalPython
+    # evaluation of the matmul over every corpus row (UDF extraction does
+    # not CSE a Python UDF referenced by both a Filter and a Project).
+    # -1 is outside the codebook range, so semantics are unchanged.
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        F.element_at(cells_udf(F.col(vec_col)), 1).alias("_cell"),
+        F.coalesce(
+            F.element_at(cells_udf(F.col(vec_col)), 1), F.lit(-1)
+        ).alias("_cell"),
     )
     p = probes.select(
         F.col(id_col).alias("probe_id"),
