@@ -206,3 +206,77 @@ def sample_frames(media: DataFrame, every_k: int = 2,
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_png"])
 
     return media.select(id_col, bytes_col).mapInPandas(fn, FRAME_SCHEMA)
+
+
+FRAME_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("frame_key", T.StringType()),
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def frame_signatures(frames: DataFrame) -> DataFrame:
+    """pHash every sampled frame (FRAME_SCHEMA rows from sample_frames) —
+    map-only Arrow batches; decode failures are error rows, not aborts."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .. import codecs as _c
+
+        for pdf in batches:
+            out = []
+            for mid, idx, png in zip(pdf["media_id"], pdf["frame_idx"], pdf["frame_png"]):
+                key = f"{mid}:{int(idx):06d}"
+                try:
+                    px, _meta = _c.decode_png(bytes(png))
+                    out.append((key, mid, int(idx), _c.phash64(px), True))
+                except Exception:
+                    out.append((key, mid, int(idx), None, False))
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SIG_SCHEMA.fields])
+
+    return frames.mapInPandas(fn, FRAME_SIG_SCHEMA)
+
+
+def frame_near_dups(
+    media: DataFrame,
+    every_k: int = 2,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    max_bucket: int | None = 1024,
+    cross_media_only: bool = True,
+) -> DataFrame:
+    """Frame-level video near-dup detection — the cross-modal composition:
+    sample frames (flatMap) → pHash (map-only pandas UDF) → Hamming-banded
+    candidate pairs (operators/simhash — pigeonhole banding, bucket caps,
+    zero per-row Python past the decode). Output: (a_id, b_id, detector,
+    score) over ``media_id:frame_idx`` keys; ``cross_media_only`` drops
+    within-video pairs (adjacent frames of one clip are trivially similar —
+    the dedup question is between videos).
+
+    Scale shape: every stage before the band self-join is map-only, the
+    join is the bucketed simhash machinery, and frame pixels never survive
+    past the signature projection — at 10^12 frames only (key, int64)
+    rows shuffle.
+    """
+    from . import simhash as _sh
+
+    sigs = frame_signatures(sample_frames(media, every_k)).filter("decode_ok")
+    pairs, _dropped = _sh.simhash_pairs(
+        sigs.select("frame_key", "phash"),
+        id_col="frame_key",
+        sig_col="phash",
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        width=64,
+        max_bucket=max_bucket,
+        detector_name="frame_phash",
+    )
+    if cross_media_only:
+        from pyspark.sql import functions as _F
+
+        med = lambda c: _F.substring_index(c, ":", 1)
+        pairs = pairs.filter(med(_F.col("a_id")) != med(_F.col("b_id")))
+    return pairs

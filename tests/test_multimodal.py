@@ -80,3 +80,31 @@ def test_audio_features_real_wav(spark):
 
     bad = by_id["bad"]
     assert bad.decode_ok is False and bad.duration_s is None
+
+
+def test_frame_near_dups_cross_video(spark):
+    """Cross-modal composition: frame sampling -> pHash -> Hamming-banded
+    pairs. Two videos sharing frames must pair on them; a third unrelated
+    video must not pair with anything."""
+    rng = np.random.default_rng(5)
+    shared = [
+        (rng.integers(0, 256, (32, 32, 3), dtype=np.uint8) // 32 * 32)
+        for _ in range(4)
+    ]
+    noise = lambda: rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    v1 = multimodal.encode_fake_video([shared[0], noise(), shared[1], noise()])
+    v2 = multimodal.encode_fake_video([shared[1], noise(), shared[0], noise()])
+    # flat gradient frames — far from v1/v2 in phash space
+    grad = np.tile(np.arange(32, dtype=np.uint8)[None, :, None] * 8, (32, 1, 3))
+    v3 = multimodal.encode_fake_video([grad, grad])
+    df = spark.createDataFrame(
+        [("v1", v1), ("v2", v2), ("v3", v3)], "media_id string, bytes binary"
+    )
+    pairs = multimodal.frame_near_dups(df, every_k=1, max_hamming=3, n_bands=8)
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    # shared[0]: v1 frame 0 == v2 frame 2; shared[1]: v1 frame 2 == v2 frame 0
+    assert ("v1:000000", "v2:000002") in got
+    assert ("v1:000002", "v2:000000") in got
+    assert all("v3" not in a and "v3" not in b for a, b in got)
+    # within-video pairs excluded by default
+    assert all(a.split(":")[0] != b.split(":")[0] for a, b in got)
