@@ -280,3 +280,84 @@ def frame_near_dups(
         med = lambda c: _F.substring_index(c, ":", 1)
         pairs = pairs.filter(med(_F.col("a_id")) != med(_F.col("b_id")))
     return pairs
+
+
+AUDIO_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("asig", T.LongType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def _audio_sig64(mono: np.ndarray, rate: int, n_windows: int = 16, n_bands: int = 4) -> int:
+    """64-bit spectral fingerprint: split the clip into ``n_windows`` equal
+    time windows x ``n_bands`` log-spaced frequency bands; bit = band energy
+    above that band's median across windows. Volume-invariant (median is
+    per-band), deterministic, numpy-only — the audio analog of pHash's
+    DCT-median signature."""
+    n = mono.shape[0]
+    if n < n_windows * 2:
+        mono = np.pad(mono, (0, n_windows * 2 - n))
+        n = mono.shape[0]
+    w = n // n_windows
+    seg = mono[: w * n_windows].reshape(n_windows, w)
+    mag = np.abs(np.fft.rfft(seg, axis=1))  # (windows, freqs)
+    nf = mag.shape[1]
+    # log-spaced band edges over [1, nf): lows get finer bands, like hearing
+    edges = np.unique(np.geomspace(1, nf, n_bands + 1).astype(int))
+    while len(edges) < n_bands + 1:  # degenerate tiny clips
+        edges = np.append(edges, edges[-1] + 1)
+    e = np.stack([mag[:, a:b].sum(axis=1) for a, b in zip(edges[:-1], edges[1:])], axis=1)
+    bits = (e > np.median(e, axis=0, keepdims=True)).astype(np.uint64).flatten()
+    val = 0
+    for i, b in enumerate(bits[:64]):
+        val |= int(b) << i
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def audio_signatures(media: DataFrame, id_col: str = "media_id", bytes_col: str = "bytes") -> DataFrame:
+    """(media_id, asig int64, decode_ok) — map-only Arrow batches over PCM16
+    WAV rows; decode failures are error rows."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_cols = [f.name for f in AUDIO_SIG_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for mid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    pcm, rate = codecs.decode_wav(bytes(raw))
+                    mono = pcm.astype(np.float64).mean(axis=1) / 32768.0
+                    out.append((mid, _audio_sig64(mono, rate), True))
+                except Exception:
+                    out.append((mid, None, False))
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return media.select(id_col, bytes_col).mapInPandas(fn, AUDIO_SIG_SCHEMA)
+
+
+def audio_near_dups(
+    media: DataFrame,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    max_bucket: int | None = 1024,
+) -> DataFrame:
+    """Audio near-dup pairs: spectral fingerprint (map-only) + the same
+    pigeonhole-banded Hamming machinery as pHash/simhash — completing the
+    image/video/audio detector triple. Only (media_id, int64) rows shuffle;
+    samples never leave the signature stage."""
+    from . import simhash as _sh
+
+    sigs = audio_signatures(media).filter("decode_ok")
+    pairs, _dropped = _sh.simhash_pairs(
+        sigs.select("media_id", "asig"),
+        id_col="media_id",
+        sig_col="asig",
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        width=64,
+        max_bucket=max_bucket,
+        detector_name="audio_fp",
+    )
+    return pairs

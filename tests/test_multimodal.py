@@ -108,3 +108,27 @@ def test_frame_near_dups_cross_video(spark):
     assert all("v3" not in a and "v3" not in b for a, b in got)
     # within-video pairs excluded by default
     assert all(a.split(":")[0] != b.split(":")[0] for a, b in got)
+
+
+def test_audio_near_dups(spark):
+    """Spectral-fingerprint dedup: a volume-scaled, lightly-noised copy of a
+    clip must pair with the original; a different melody must not."""
+    rng = np.random.default_rng(9)
+    rate = 8000
+
+    def melody(freqs):
+        t = np.arange(rate // 4) / rate
+        return np.concatenate([0.6 * np.sin(2 * np.pi * f * t) for f in freqs])
+
+    a = melody([220, 330, 440, 550, 660, 880, 440, 330])
+    a_dup = 0.7 * a + rng.normal(0, 0.004, a.shape)  # quieter + slight noise
+    b = melody([3000, 2500, 2000, 1500, 1200, 1000, 900, 800])
+    rows = [
+        ("a", codecs.encode_wav(a, rate)),
+        ("a2", codecs.encode_wav(a_dup, rate)),
+        ("b", codecs.encode_wav(b, rate)),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary")
+    pairs = {(r.a_id, r.b_id) for r in multimodal.audio_near_dups(df, max_hamming=6).collect()}
+    assert ("a", "a2") in pairs
+    assert all("b" not in p for p in pairs)
