@@ -149,7 +149,7 @@ def _q_ngram_jaccard(spark, sf_dir):
         "doc_id", "lang",
         F.array_distinct(F.split(text.norm_text("text"), " ")).alias("toks"),
     )
-    pairs = setsim.jaccard_pairs(d, "doc_id", "toks", NGRAM_TAU, block_cols=("lang",))
+    pairs, _dropped = setsim.jaccard_pairs(d, "doc_id", "toks", NGRAM_TAU, block_cols=("lang",))
     return pairs.select("a_id", "b_id", F.round("score", 6).alias("score"))
 
 
@@ -286,7 +286,13 @@ def _q_group_agg(spark, sf_dir):
 
 
 def _q_topk_per_group(spark, sf_dir):
-    """O11 generalized: deterministic top-3 per group via row_number."""
+    """O11 generalized: deterministic top-3 per group via row_number.
+
+    Hot-key caveat (the repo convention, operators/exact.py + asof.py):
+    Window.partitionBy places each o_custkey's rows on ONE task — fine here
+    because customers are real entities with bounded order counts; for a
+    group column with power-law keys, pre-aggregate per (key, salt) with a
+    partial top-k and re-rank the union, or use groupBy + min_by ladders."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
@@ -344,7 +350,13 @@ def _q_set_ops(spark, sf_dir):
 
 
 def _q_sessionize(spark, sf_dir):
-    """Event sessionization (gap > 30 min) — lag window + conditional sum."""
+    """Event sessionization (gap > 30 min) — lag window + conditional sum.
+
+    Hot-key caveat (the repo convention, operators/exact.py + asof.py): the
+    lag window serializes each user_id onto one task. Users are real bounded
+    entities, so this holds at 100 TB; a bot/default key that owns 1% of all
+    events would need per-(user, day) pre-splitting with boundary stitching
+    (sessions can't span the split gap check) before the window."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))

@@ -43,16 +43,25 @@ def asof_join(
     Ties: two right rows at the identical timestamp resolve to the one
     later in (time, *right_cols) order — deterministic; pre-aggregate the
     right side if a different tie rule is needed.
+
+    The carried right columns travel as ONE struct and the window takes
+    ``last(struct, ignorenulls=True)`` — the match is row-atomic: a right row
+    whose payload column is NULL carries that NULL (DuckDB/pandas ASOF
+    semantics), instead of stitching ts from the newest right row with a
+    value resolved independently from an older one (ADVICE r3).
     """
+    from pyspark.sql import types as T
+
     carry = [time_col] + [c for c in right_cols if c != time_col]
-    l_tag = left.withColumn("_is_l", F.lit(1)).select(
-        "*", *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rc_{c}") for c in carry]
+    rc_type = T.StructType([T.StructField(c, right.schema[c].dataType) for c in carry])
+    l_tag = left.withColumn("_is_l", F.lit(1)).withColumn(
+        "__rc", F.lit(None).cast(rc_type)
     )
     r_tag = right.select(
         F.col(by),
         F.col(time_col),
         F.lit(0).alias("_is_l"),
-        *[F.col(c).alias(f"__rc_{c}") for c in carry],
+        F.struct(*[F.col(c).alias(c) for c in carry]).alias("__rc"),
     )
     # left rows gain the right payload; right rows gain nulls for the left
     # columns they lack — align by name
@@ -62,36 +71,30 @@ def asof_join(
     u = l_tag.unionByName(r_tag.select(*l_tag.columns))
 
     # right rows sort BEFORE left rows at the same timestamp (_is_l 0 < 1),
-    # so an equal-time right row is eligible — the >= contract
+    # so an equal-time right row is eligible — the >= contract; struct
+    # comparison is field-lexicographic, so the tie rule matches the
+    # documented (time, *right_cols) order
     w = (
         Window.partitionBy(by)
-        .orderBy(time_col, "_is_l", *[f"__rc_{c}" for c in carry])
+        .orderBy(time_col, "_is_l", "__rc")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.select(
-        "*",
-        *[
-            F.last(f"__rc_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in carry
-        ],
+        "*", F.last("__rc", ignorenulls=True).over(w).alias("__m")
     ).filter(F.col("_is_l") == 1)
 
     if tolerance_s is not None:
+        # microsecond-precision gap: unix_timestamp truncates to whole
+        # seconds (a 60.4s gap would pass tolerance_s=60 — ADVICE r3)
         in_tol = (
-            F.unix_timestamp(time_col).cast("double")
-            - F.unix_timestamp(f"__m_{time_col}").cast("double")
-        ) <= float(tolerance_s)
-        matched = matched.select(
-            *[c for c in matched.columns if not c.startswith("__m_")],
-            *[
-                F.when(in_tol, F.col(f"__m_{c}")).alias(f"__m_{c}")
-                for c in carry
-            ],
-        )
+            F.unix_micros(F.col(time_col).cast("timestamp"))
+            - F.unix_micros(F.col(f"__m.{time_col}").cast("timestamp"))
+        ) <= int(float(tolerance_s) * 1_000_000)
+        matched = matched.withColumn("__m", F.when(in_tol, F.col("__m")))
 
     keep = [c for c in left.columns]
     out = matched.select(
         *keep,
-        *[F.col(f"__m_{c}").alias(f"{c}{suffix}") for c in carry],
+        *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in carry],
     )
     return out

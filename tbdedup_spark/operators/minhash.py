@@ -87,6 +87,11 @@ def minhash_signatures(
     hash_fn = hash_fn or text.hash60  # hash60: oracle-grade (DuckDB md5
     # mirror); pass text.hash32 (crc32) in throughput paths — ~100x cheaper,
     # python-mirrorable via zlib.crc32, collisions only add candidates
+    if carry == "hashes32" and hash_fn is not text.hash32:
+        # the int32 fold below is a bijection of [0, 2^32) ONLY; a 60-bit
+        # hash would silently wrap, making the fold non-injective and the
+        # verify Jaccard wrong with no error (ADVICE r3)
+        raise ValueError('carry="hashes32" requires hash_fn=text.hash32 (32-bit domain)')
     exploded = exploded_shingles(df, id_col, text_col, k).withColumn(
         "_h", hash_fn("_sh")
     )

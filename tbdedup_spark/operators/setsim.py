@@ -11,20 +11,32 @@ if the prefixes were disjoint, every common token would have to sit in one
 suffix of size ⌈τ|X|⌉ − 1 — pigeonhole contradiction). So:
 
     tokens → document-frequency total order (rarest first: smallest
-    prefixes-postings lists) → explode prefixes → equi-join on
-    (block, token) → exact |∩|/|∪| verify on the candidate pairs only.
+    prefixes-postings lists) → rank within doc, keep only prefix rows →
+    equi-join on (block, token) → exact |∩|/|∪| verify on candidates only.
 
 Candidates are a provable superset of the τ-pairs; the exact verify makes
-the result IDENTICAL to the brute-force oracle. The frequency relation is an
-aggregate small enough for AQE to broadcast; hot (stopword-ish) prefix
-tokens are sheared by AQE skew-join splitting. The generalization of the
-reference's derived-key grouping (tbdedup/planner/walk.py:100-125) to a
-similarity predicate.
+the result IDENTICAL to the brute-force oracle. The prefix is extracted with
+a per-doc ``row_number`` window, NOT a sorted ``collect_list`` array: the
+old aggregate re-materialized EVERY token of every doc into one sorted array
+per doc and then sliced it — O(|doc| log |doc|) is unavoidable either way
+(the rank needs a per-doc sort) but the window form never builds the array
+and only prefix rows leave the stage, so the downstream join input shrinks
+by the suffix mass (~(1−τ)·|tokens| fewer rows at τ=0.5, more at higher τ).
+The window partition key is the doc id — bounded by doc length, so no
+hot-key risk (the repo's window convention, operators/asof.py:10-12).
+
+Skew valve (the reference-analog standard the other detectors meet,
+operators/minhash.py:179-191): a universal prefix token (stopword that
+survives into prefixes of short docs) creates a quadratic postings join.
+``prefix_cap`` drops tokens whose postings list exceeds the cap from the
+candidate join — dropped AND reported via the second returned relation,
+never silent. Recall is only lost for pairs whose EVERY shared prefix token
+is hot; precision is untouched (the exact verify runs regardless).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -34,10 +46,18 @@ def jaccard_pairs(
     tokens_col: str,
     tau: float,
     block_cols: tuple[str, ...] = (),
-) -> DataFrame:
-    """All (a_id, b_id, score) with token-set Jaccard ≥ tau (a_id < b_id),
-    optionally restricted to pairs agreeing on ``block_cols`` (the oracle's
-    same-lang semantic). ``tokens_col`` must already be distinct tokens."""
+    prefix_cap: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, dropped_tokens): all (a_id, b_id, score) with token-set
+    Jaccard ≥ tau (a_id < b_id), optionally restricted to pairs agreeing on
+    ``block_cols`` (the oracle's same-lang semantic). ``tokens_col`` must
+    already be distinct tokens.
+
+    ``prefix_cap``: max postings-list length per (token, block) in the
+    candidate join; hotter tokens are dropped and reported in
+    ``dropped_tokens`` (token, *block_cols, postings). ``None`` = exact
+    (oracle) mode, empty report.
+    """
     blocks = list(block_cols)
     docs = df.select(
         F.col(id_col).alias("_id"), *blocks, F.col(tokens_col).alias("_toks")
@@ -50,15 +70,31 @@ def jaccard_pairs(
     # prefix length p = n - ceil(tau*n) + 1 (1e-9: don't let float noise
     # round an exact tau*n UP, which would shrink the prefix below the bound)
     p_len = (F.col("_sz") - F.ceil(F.lit(tau) * F.col("_sz") - F.lit(1e-9)) + 1).cast("int")
+    w = Window.partitionBy("_id").orderBy("_df", "_tok")
     prefix = (
         ex.join(freq, "_tok")
-        .groupBy("_id", *blocks, "_sz")
-        .agg(F.sort_array(F.collect_list(F.struct("_df", "_tok"))).alias("_ord"))
-        .select(
-            "_id", *blocks,
-            F.explode(F.slice(F.col("_ord._tok"), F.lit(1), p_len)).alias("_tok"),
-        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= p_len)
+        .select("_id", *blocks, "_tok")
     )
+
+    if prefix_cap is not None:
+        postings = prefix.groupBy("_tok", *blocks).agg(
+            F.count(F.lit(1)).alias("postings")
+        )
+        dropped = postings.filter(F.col("postings") > prefix_cap).select(
+            F.col("_tok").alias("token"), *blocks, "postings"
+        )
+        prefix = prefix.join(
+            postings.filter(F.col("postings") <= prefix_cap).select("_tok", *blocks),
+            ["_tok", *blocks],
+        )
+    else:
+        dropped = (
+            prefix.limit(0)
+            .select(F.col("_tok").alias("token"), *blocks)
+            .withColumn("postings", F.lit(0).cast("long"))
+        )
 
     cand = (
         prefix.select(F.col("_id").alias("a_id"), *blocks, "_tok")
@@ -69,7 +105,7 @@ def jaccard_pairs(
     )
 
     toks = docs.select("_id", "_toks")
-    return (
+    pairs = (
         cand.join(toks.select(F.col("_id").alias("a_id"), F.col("_toks").alias("_ta")), "a_id")
         .join(toks.select(F.col("_id").alias("b_id"), F.col("_toks").alias("_tb")), "b_id")
         .withColumn(
@@ -80,3 +116,4 @@ def jaccard_pairs(
         .filter(F.col("score") >= tau)
         .select("a_id", "b_id", "score")
     )
+    return pairs, dropped

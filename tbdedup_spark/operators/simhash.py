@@ -49,27 +49,45 @@ def simhash_pairs(
     width: int = 64,
     max_bucket: int | None = 1024,
     detector_name: str = "simhash",
+    checkpoint: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(pairs, dropped_buckets). Completeness: guaranteed for
     max_hamming <= n_bands - 1 (pigeonhole); the residual filter enforces the
     exact bound either way. Hot buckets (e.g. flat images all hashing to 0)
-    are size-capped and reported, as in minhash.candidate_pairs."""
+    are size-capped and reported, as in minhash.candidate_pairs.
+
+    ``max_bucket=None`` (oracle mode) takes a fast path with NO bucket-size
+    machinery: the plain band-key self-join needs no sizes, so the groupBy +
+    join + localCheckpoint below would be a pure-latency materialization of
+    the whole banded relation — the identical dead cost removed from
+    minhash.candidate_pairs (operators/minhash.py:214-232); both self-join
+    sides shuffle on the same (band_idx, band_bits) key, so Spark's
+    ReusedExchange computes the upstream once anyway. ``checkpoint=True``
+    additionally materializes the banded relation first — only worth it when
+    an expensive upstream (e.g. ``text_simhash``'s explode+groupBy) feeds it
+    AND exchange reuse can't apply (it normally does)."""
     assert max_hamming < n_bands, "pigeonhole completeness needs d < B"
     banded = hamming_bands(df, id_col, sig_col, n_bands, width)
-    # groupBy+join, not a window — a window over a hot bucket is one task
-    # (see minhash.candidate_pairs). One materialization feeds both self-join
-    # sides + the dropped report (and cuts off any expensive upstream, e.g.
-    # text_simhash's aggregation).
-    bsz = banded.groupBy("band_idx", "band_bits").agg(F.count(F.lit(1)).alias("_bsz"))
-    sized = banded.join(bsz, ["band_idx", "band_bits"]).localCheckpoint()
-    dropped = (
-        sized.filter(F.col("_bsz") > max_bucket)
-        .groupBy("band_idx", "band_bits")
-        .agg(F.max("_bsz").alias("bucket_size"))
-        if max_bucket
-        else sized.limit(0).groupBy("band_idx", "band_bits").agg(F.max("_bsz").alias("bucket_size"))
-    )
-    kept = sized.filter(F.col("_bsz") <= max_bucket) if max_bucket else sized
+    if not max_bucket:
+        if checkpoint:
+            banded = banded.localCheckpoint()
+        empty = banded.limit(0).withColumn("_bsz", F.lit(0).cast("long"))
+        dropped = empty.groupBy("band_idx", "band_bits").agg(
+            F.max("_bsz").alias("bucket_size")
+        )
+        kept = banded
+    else:
+        # groupBy+join, not a window — a window over a hot bucket is one task
+        # (see minhash.candidate_pairs). One materialization feeds both
+        # self-join sides + the dropped report.
+        bsz = banded.groupBy("band_idx", "band_bits").agg(F.count(F.lit(1)).alias("_bsz"))
+        sized = banded.join(bsz, ["band_idx", "band_bits"]).localCheckpoint()
+        dropped = (
+            sized.filter(F.col("_bsz") > max_bucket)
+            .groupBy("band_idx", "band_bits")
+            .agg(F.max("_bsz").alias("bucket_size"))
+        )
+        kept = sized.filter(F.col("_bsz") <= max_bucket)
     a = kept.select(F.col("_id").alias("a_id"), F.col("_sig").alias("_siga"), "band_idx", "band_bits")
     b = kept.select(F.col("_id").alias("b_id"), F.col("_sig").alias("_sigb"), "band_idx", "band_bits")
     pairs = (

@@ -70,10 +70,13 @@ def connected_components(
       Δ-jump-ptr  Δlab(v)=w, l(w)=x         -> cand(v, x)   [v's pointer moved]
       Δ-jump-val  lab(v)=w, Δl(w)=x         -> cand(v, x)   [target's value moved]
 
-    each a broadcast-hash join (no shuffle of the full relations; the
-    static-static halves of the rules contribute nothing new by the
-    semi-naive argument), followed by one map-side least() update pass over
-    the label relation. Same fixpoint, measured 31.6s -> ~17s on the corpus
+    each driven by the broadcast delta (bounded by ``delta_threshold`` rows —
+    no shuffle of the full relations; the static-static halves of the rules
+    contribute nothing new by the semi-naive argument), followed by one
+    least() update join of the candidate mins onto the label relation. The
+    candidate relation gets NO broadcast hint: its size is the delta's
+    neighborhood, not the delta, so AQE picks broadcast-vs-shuffle from its
+    runtime size. Same fixpoint, measured 31.6s -> ~17s on the corpus
     above at 8 cores — and the late-round cost now scales with |Δ|, not
     |V|+|E|, which is what a 10^12-row run spends most iterations on.
     """
@@ -155,7 +158,12 @@ def connected_components(
                 .groupBy("id")
                 .agg(F.min("_dl").alias("_cand"))
             )
-            jumped = labels.join(F.broadcast(cand), "id", "left").select(
+            # NO broadcast hint on cand: the delta itself is bounded by
+            # delta_threshold rows, but cand is the delta's NEIGHBORHOOD —
+            # one high-degree node entering the delta late can blow it past
+            # broadcast/driver limits at 10^12 edges (ADVICE r3). AQE sees
+            # cand's true runtime size and picks broadcast vs shuffle itself.
+            jumped = labels.join(cand, "id", "left").select(
                 "id",
                 F.col("label").alias("_old"),
                 F.least("label", F.coalesce("_cand", "label")).alias("label"),

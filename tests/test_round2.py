@@ -141,7 +141,7 @@ def test_setsim_prefix_filter_equals_bruteforce(spark, images):
     )
     got = {
         (r.a_id, r.b_id, round(r.score, 9))
-        for r in setsim.jaccard_pairs(d, "image_id", "toks", 0.5, block_cols=("blk",)).collect()
+        for r in setsim.jaccard_pairs(d, "image_id", "toks", 0.5, block_cols=("blk",))[0].collect()
     }
     a = d.select(F.col("image_id").alias("a_id"), "blk", F.col("toks").alias("ta"))
     b = d.select(F.col("image_id").alias("b_id"), "blk", F.col("toks").alias("tb"))

@@ -41,3 +41,39 @@ def test_no_salting_default_unchanged(spark):
     pairs, dropped = minhash.candidate_pairs(banded, max_bucket=16)
     assert pairs.count() == 0
     assert dropped.collect()[0].bucket_size == 60
+
+
+# --- setsim hot-prefix token cap ----------------------------------------------
+
+
+def test_setsim_hot_prefix_cap_reported(spark):
+    """Universal-token corpus: every doc carries the stopword 'zzz' (rarer
+    tokens sort first, but the universal token lands in the prefix of docs
+    short enough that p_len reaches it). With prefix_cap set, the universal
+    postings list is dropped AND reported; pairs that also share a rare
+    token survive, a pair sharing ONLY the universal token is the documented
+    recall loss."""
+    from tbdedup_spark.operators import setsim
+
+    rows = (
+        # pair via rare shared token "r1" (plus the universal token)
+        [("a1", ["r1", "x1", "zzz"]), ("a2", ["r1", "x2", "zzz"])]
+        # pair sharing ONLY the universal token (2-token docs: prefix covers both)
+        + [("b1", ["y1", "zzz"]), ("b2", ["y2", "zzz"])]
+        # filler docs making "zzz" hot
+        + [(f"f{i}", [f"u{i}", "zzz"]) for i in range(30)]
+    )
+    d = spark.createDataFrame(rows, ["doc_id", "toks"])
+
+    exact, no_drop = setsim.jaccard_pairs(d, "doc_id", "toks", 0.3)
+    capped, dropped = setsim.jaccard_pairs(d, "doc_id", "toks", 0.3, prefix_cap=8)
+
+    assert no_drop.count() == 0
+    got = {(r.a_id, r.b_id) for r in capped.collect()}
+    assert ("a1", "a2") in got  # recovered via the rare token r1
+    assert ("b1", "b2") not in got  # the honest trade: only-universal pair lost
+    assert ("b1", "b2") in {(r.a_id, r.b_id) for r in exact.collect()}
+    rep = {r.token: r.postings for r in dropped.collect()}
+    assert "zzz" in rep and rep["zzz"] > 8  # reported, never silent
+    # precision untouched: capped pairs are a subset of the exact pairs
+    assert got <= {(r.a_id, r.b_id) for r in exact.collect()}
