@@ -250,6 +250,40 @@ def _q_ann_ivf(spark, sf_dir):
     return out.select("probe_id", "neighbor_id", "score", F.col("rank").alias("rnk"))
 
 
+def _q_audio_near_dups(spark, sf_dir):
+    """Audio near-dup detection under the driver contract (rows-only: WAV
+    decode + FFT fingerprints aren't SQL-expressible — the ann_topk_ivf
+    precedent). The driver testdata ships no media tables, so the corpus is
+    synthesized IN-QUERY by synth.audio_corpus: a distributed map-only stage
+    rendering seeded PCM16 WAV melodies with 16 planted volume-scaled+noised
+    near-dups. Planted-pair recall is gated in tests/test_multimodal.py;
+    here the detector (spectral fingerprint → pigeonhole-banded Hamming,
+    operators/multimodal.audio_near_dups) must return a stable row set."""
+    from tbdedup_spark import synth
+    from tbdedup_spark.operators import multimodal
+    from tbdedup_spark.session import ensure_worker_pyfiles
+
+    ensure_worker_pyfiles(spark)  # pandas-UDF closures import the package
+    media = synth.audio_corpus(spark, n_orig=32, n_dup=16, rate=8000, seed=SEED)
+    return multimodal.audio_near_dups(media, max_hamming=6, n_bands=8)
+
+
+def _q_frame_near_dups(spark, sf_dir):
+    """Frame-level video near-dup detection under the driver contract
+    (rows-only; same precedent + synthesis rationale as audio_near_dups).
+    synth.video_corpus plants 12 videos that re-use two content frames of
+    their base at different positions; frame_near_dups (sample → pHash →
+    banded Hamming, cross-media only) must recover exactly those
+    shared-frame pairs — asserted in tests/test_multimodal.py."""
+    from tbdedup_spark import synth
+    from tbdedup_spark.operators import multimodal
+    from tbdedup_spark.session import ensure_worker_pyfiles
+
+    ensure_worker_pyfiles(spark)  # pandas-UDF closures import the package
+    media = synth.video_corpus(spark, n_orig=24, n_dup=12, seed=SEED)
+    return multimodal.frame_near_dups(media, every_k=1, max_hamming=3, n_bands=8)
+
+
 # --- generic relational operators (SURVEY §2 mappings on TPC-H tables) -------
 
 
@@ -811,6 +845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": _q_ann_bruteforce,
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
+        "audio_near_dups": _q_audio_near_dups,
+        "frame_near_dups": _q_frame_near_dups,
         "embedding_neardup_pairs": _q_embedding_neardup,
         "scan_filter_project": _q_scan_filter,
         "group_agg": _q_group_agg,

@@ -94,3 +94,29 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_worker_pyfiles(spark: SparkSession) -> None:
+    """Make ``tbdedup_spark`` importable inside Python workers regardless of
+    the driver's cwd by shipping the ``dist/tbdedup_spark.zip`` artifact via
+    ``addPyFile`` — the same mechanism as the spark-submit ``--py-files``
+    contract (make_pyfiles.py). Needed by any query whose pandas-UDF closure
+    references package modules (cloudpickle serializes those BY REFERENCE,
+    so the worker must import the package; a driver launched outside the
+    repo — e.g. the grading driver — otherwise fails at deserialization).
+    Idempotent per session."""
+    sc = spark.sparkContext
+    if getattr(sc, "_tbdedup_pyfiles_added", False):
+        return
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = os.path.join(root, "dist", "tbdedup_spark.zip")
+    if not os.path.exists(zip_path):  # source checkout without dist: build it
+        import subprocess
+        import sys
+
+        subprocess.run(
+            [sys.executable, os.path.join(root, "make_pyfiles.py")], check=False
+        )
+    if os.path.exists(zip_path):
+        sc.addPyFile(zip_path)
+    sc._tbdedup_pyfiles_added = True

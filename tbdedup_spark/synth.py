@@ -253,3 +253,81 @@ def golden_clusters(rows: list[Row], pairs: list[tuple[str, str, str, float]]) -
 def to_spark_rows(rows: list[Row]) -> list[tuple]:
     """F1 tuples in IMAGES schema order."""
     return [(r.image_id, r.data, r.w, r.h, r.fmt, r.caption, r.phash) for r in rows]
+
+
+# --- distributed media corpora (driver-contract audio/video dedup) -----------
+#
+# The driver's testdata ships no media tables, so the audio/video detector
+# queries synthesize their input IN-QUERY: a spark.range over ids feeds a
+# map-only Arrow stage that renders each clip from seeded numpy — fully
+# distributed (no driver-side byte generation; at 10^12 rows the range
+# splits across executors like any other source) and deterministic (every
+# RNG is keyed by the row id, never wall-clock). Planted structure: row
+# i >= n_orig is a near-duplicate of row i - n_orig; distinct bases are
+# i.i.d. random, so their 64-bit fingerprints stay far apart in Hamming
+# space w.h.p. and the banded detectors recover exactly the planted pairs.
+# Reference analog: the deterministic planted-duplicate test corpus
+# (reference tests/base.py:144-416).
+
+MEDIA_SCHEMA = "media_id string, bytes binary"
+
+
+def audio_corpus(spark, n_orig: int = 32, n_dup: int = 16,
+                 rate: int = 8000, seed: int = 42):
+    """(media_id, bytes) PCM16 WAV rows: au0000..au{n_orig-1} are random
+    8-note melodies; au{n_orig+j} is a volume-scaled (0.7x), lightly-noised
+    copy of au{j} — the planted near-dup set for ``audio_near_dups``."""
+    import pandas as pd
+
+    total = n_orig + n_dup
+    assert n_dup <= n_orig
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                j = i if i < n_orig else i - n_orig
+                brng = np.random.default_rng(seed * 1_000_003 + j)
+                t = np.arange(rate // 4) / rate
+                freqs = brng.uniform(150.0, 3600.0, 8)
+                clip = np.concatenate([0.6 * np.sin(2 * np.pi * f * t) for f in freqs])
+                if i >= n_orig:
+                    nrng = np.random.default_rng(seed * 2_000_003 + i)
+                    clip = 0.7 * clip + nrng.normal(0.0, 0.002, clip.shape)
+                rows.append((f"au{i:04d}", codecs.encode_wav(clip, rate)))
+            yield pd.DataFrame(rows, columns=["media_id", "bytes"])
+
+    return spark.range(total).repartition(8).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def video_corpus(spark, n_orig: int = 24, n_dup: int = 12, seed: int = 42):
+    """(media_id, bytes) fake-container videos: vd{j} holds two seeded
+    content frames (+2 noise frames); vd{n_orig+j} re-uses base j's content
+    frames at different positions among its own noise — the planted
+    cross-video shared-frame set for ``frame_near_dups``."""
+    import pandas as pd
+
+    from .operators.multimodal import encode_fake_video
+
+    total = n_orig + n_dup
+    assert n_dup <= n_orig
+
+    def gen(batches):
+        frame = lambda rng: rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                j = i if i < n_orig else i - n_orig
+                brng = np.random.default_rng(seed * 3_000_017 + j)
+                content = [frame(brng) // 32 * 32 for _ in range(2)]
+                own = np.random.default_rng(seed * 4_000_037 + i)
+                if i < n_orig:
+                    frames = [content[0], frame(own), content[1], frame(own)]
+                else:
+                    frames = [frame(own), content[1], frame(own), content[0]]
+                rows.append((f"vd{i:04d}", encode_fake_video(frames)))
+            yield pd.DataFrame(rows, columns=["media_id", "bytes"])
+
+    return spark.range(total).repartition(8).mapInPandas(gen, MEDIA_SCHEMA)

@@ -132,3 +132,39 @@ def test_audio_near_dups(spark):
     pairs = {(r.a_id, r.b_id) for r in multimodal.audio_near_dups(df, max_hamming=6).collect()}
     assert ("a", "a2") in pairs
     assert all("b" not in p for p in pairs)
+
+
+def test_driver_media_queries_planted_pairs(spark):
+    """The driver-contract audio/video entries (rows-only, synthesized
+    in-query) must recover exactly the planted near-dup structure."""
+    import __spark_entry__ as M
+
+    q = M.queries()
+    audio = {(r.a_id, r.b_id) for r in q["audio_near_dups"](spark, "").collect()}
+    planted = {(f"au{j:04d}", f"au{j + 32:04d}") for j in range(16)}
+    assert planted <= audio  # every planted dup recovered
+    base = lambda s: int(s[2:]) % 32
+    assert all(base(a) == base(b) for a, b in audio)  # no cross-base noise
+
+    frames = {(r.a_id, r.b_id) for r in q["frame_near_dups"](spark, "").collect()}
+    med = lambda s: s.split(":")[0]
+    vid_pairs = {tuple(sorted((med(a), med(b)))) for a, b in frames}
+    want = {(f"vd{j:04d}", f"vd{j + 24:04d}") for j in range(12)}
+    # each planted video couple pairs on BOTH shared content frames
+    for j in range(12):
+        o, d = f"vd{j:04d}", f"vd{j + 24:04d}"
+        hits = {p for p in frames if {med(p[0]), med(p[1])} == {o, d}}
+        assert len(hits) >= 2, f"planted couple {o}/{d} under-recovered: {hits}"
+    assert vid_pairs == want  # and nothing across different bases
+
+
+def test_driver_media_queries_deterministic(spark):
+    """Rows-only driver checks hinge on run-to-run determinism of the
+    synthesized corpora + detectors."""
+    import __spark_entry__ as M
+
+    q = M.queries()
+    for name in ("audio_near_dups", "frame_near_dups"):
+        a = sorted(map(tuple, q[name](spark, "").collect()))
+        b = sorted(map(tuple, q[name](spark, "").collect()))
+        assert a == b and len(a) > 0
