@@ -250,6 +250,32 @@ def _q_ann_ivf(spark, sf_dir):
     return out.select("probe_id", "neighbor_id", "score", F.col("rank").alias("rnk"))
 
 
+def _q_image_dedup_clusters(spark, sf_dir):
+    """The north_star pipeline itself under the driver contract (rows-only:
+    pixel decode / PSNR / pHash aren't SQL-expressible): an input_hint-shaped
+    image+caption corpus (image_id, bytes, w, h, fmt, caption, phash) is
+    synthesized DISTRIBUTED in-query (synth_dist.images_distributed — seeded
+    per base index, identical under any partitioning), then the full
+    plans/pipeline.run_pipeline executes: signatures → exact + minhash +
+    simhash + substr detectors (concurrent, skew-laddered) → union-find →
+    PSNR≥40dB + caption-equality verify with quarantine, every stage
+    committed through the resumable Catalog into a fresh temp warehouse.
+    Returns the verified CLUSTERS relation. Cluster-assignment equality vs
+    the golden single-node oracle is gated in tests/test_pipeline.py; this
+    entry pins the end-to-end composition under the driver."""
+    import tempfile
+
+    from tbdedup_spark import synth_dist
+    from tbdedup_spark.plans import pipeline
+    from tbdedup_spark.session import ensure_worker_pyfiles
+
+    ensure_worker_pyfiles(spark)
+    images = synth_dist.images_distributed(spark, n_bases=200, seed=SEED, partitions=8)
+    wh = tempfile.mkdtemp(prefix="tbdedup_imgclusters_")
+    out = pipeline.run_pipeline(spark, images, wh)
+    return out["clusters"]
+
+
 def _q_audio_near_dups(spark, sf_dir):
     """Audio near-dup detection under the driver contract (rows-only: WAV
     decode + FFT fingerprints aren't SQL-expressible — the ann_topk_ivf
@@ -845,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": _q_ann_bruteforce,
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
+        "image_dedup_clusters": _q_image_dedup_clusters,
         "audio_near_dups": _q_audio_near_dups,
         "frame_near_dups": _q_frame_near_dups,
         "embedding_neardup_pairs": _q_embedding_neardup,

@@ -6,10 +6,25 @@ Runs the flagship dedup/detector/relational queries at
 ``noop`` sink (all compute, no write cost). Prints exactly one JSON line:
 
   {"metric": "bench_total_sec", "value": N, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": 0.1}
+   "queries": {...per-query sec...}, "sf": 0.1, "warmup": true}
 
-The two-parallelism scaling evidence (local[8] vs local[32], images/sec,
-efficiency >= 0.8) is the separate harness BENCH/scaling.py -> BENCH/BASELINE.md.
+Methodology (for honest cross-round comparison): since round 3 the session
+is WARMED before timing — a codegen-heavy throwaway job plus one full scan
+of each input table — so per-query numbers are steady-state engine cost,
+not JVM JIT / codegen-compile / parquet-footer-cache noise (measured: the
+first query absorbed ~6s of one-time cost at sf0.1). Round-2-and-earlier
+BENCH_r*.json numbers include that first-query session cost; the
+``warmup`` field marks which regime a JSON line came from.
+
+A second, larger SF point: BENCH/make_sfx.py synthesizes a deterministic
+10x corpus (BENCH/data/sf1) whose duplicate DENSITY matches sf0.1 (per-copy
+substitution ciphers keep within-copy overlap exact, cross-copy near zero),
+so  SPARK_GRAFT_SF_DIR=BENCH/data/sf1 python bench.py  gives the linearity
+curve; committed runs live in BENCH/bench_sf*.json.
+
+The two-parallelism scaling evidence (1 vs 4 executors, images/sec,
+efficiency >= 0.8) is the separate harness BENCH/cluster_scaling.py ->
+BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -92,6 +107,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "warmup": True,
             }
         )
     )

@@ -118,3 +118,55 @@ def test_pipeline_disk_hash_source(spark, images, tmp_path):
     than canonical groups (byte-identical => pixel-identical)."""
     out = run_pipeline(spark, images, str(tmp_path / "whd"), DedupConfig(hash_source="disk"))
     assert out["clusters"].count() == images.count()
+
+
+def test_driver_image_clusters_entry(spark):
+    """The driver-contract image_dedup_clusters entry (rows-only) must
+    produce a sound clustering of the distributed synthesized corpus:
+    every image labeled once, representatives = cluster ids, planted
+    exact-dup members co-clustered."""
+    import __spark_entry__ as M
+
+    from tbdedup_spark import synth
+
+    out = M.queries()["image_dedup_clusters"](spark, "")
+    rows = out.collect()
+    assert len(rows) > 0
+    by_id = {r.image_id: r for r in rows}
+    assert len(by_id) == len(rows)  # one label per image
+    for r in rows:
+        assert (r.image_id == r.cluster_id) == r.is_representative
+
+    # golden truth for the same 200 bases (synth is partition-invariant)
+    g_rows = [row for b in range(200) for row in synth.rows_for_base(b, 42)]
+    pairs = synth.golden_pairs(g_rows)
+    golden = synth.golden_clusters(g_rows, pairs)
+    # exact-class members must share the pipeline's cluster with their base
+    n_checked = 0
+    for r in g_rows:
+        if r.dup_class == "exact" and r.image_id in by_id and r.base_id in by_id:
+            assert by_id[r.image_id].cluster_id == by_id[r.base_id].cluster_id
+            n_checked += 1
+    assert n_checked > 10
+    # dup-pair recall >= 0.99 against the golden clustering (the north_rule
+    # gate, at this entry's scale)
+    from collections import defaultdict
+
+    want_groups = defaultdict(set)
+    for iid, cid in golden.items():
+        want_groups[cid].add(iid)
+    want_pairs = {
+        (a, b)
+        for g in want_groups.values()
+        for a in g
+        for b in g
+        if a < b
+    }
+    got_groups = defaultdict(set)
+    for r in rows:
+        got_groups[r.cluster_id].add(r.image_id)
+    got_pairs = {
+        (a, b) for g in got_groups.values() for a in g for b in g if a < b
+    }
+    recall = len(want_pairs & got_pairs) / max(len(want_pairs), 1)
+    assert recall >= 0.99, f"recall {recall:.4f}"
