@@ -310,6 +310,46 @@ def _q_frame_near_dups(spark, sf_dir):
     return multimodal.frame_near_dups(media, every_k=1, max_hamming=3, n_bands=8)
 
 
+def _q_streaming_first_seen(spark, sf_dir):
+    """Structured-streaming stateful first-seen dedup under the driver
+    contract (rows-only: applyInPandasWithState is the documented
+    non-SQL-expressible custom stateful operator). Two parquet batches land
+    in a temp dir — the second RE-DELIVERS an overlapping slice — and the
+    streaming query (streaming/ingest.stream_dedup_first_seen) must emit
+    each canonical signature exactly once: batch 1's min-id row per sig,
+    then only the genuinely-new sigs from batch 2 (re-arrivals suppressed
+    by the per-group state). NoTimeout mode for the finite run; each batch
+    is fully processed before the next lands, so the emitted row set is
+    deterministic. Invariants gated in tests/test_streaming.py."""
+    import os
+    import tempfile
+
+    from tbdedup_spark import synth_dist
+    from tbdedup_spark.session import ensure_worker_pyfiles
+    from tbdedup_spark.streaming import ingest
+
+    ensure_worker_pyfiles(spark)
+    base = tempfile.mkdtemp(prefix="tbdedup_stream_q_")
+    inp, out, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+    b1 = synth_dist.images_distributed(spark, n_bases=120, seed=SEED, partitions=4)
+    b1.write.mode("overwrite").parquet(os.path.join(inp, "b1"))
+    q = ingest.stream_dedup_first_seen(
+        spark, inp, out, ckpt, state_ttl_hours=None, max_files_per_trigger=1000
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: bases 80..159 — 0..119 overlap re-delivers 40 bases' rows
+        b2 = (
+            synth_dist.images_distributed(spark, n_bases=160, seed=SEED, partitions=4)
+            .filter(F.col("image_id") >= "img000000080")
+        )
+        b2.write.mode("overwrite").parquet(os.path.join(inp, "b2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out).select("image_id", "sig")
+
+
 # --- generic relational operators (SURVEY §2 mappings on TPC-H tables) -------
 
 
@@ -872,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
         "image_dedup_clusters": _q_image_dedup_clusters,
+        "streaming_first_seen_dedup": _q_streaming_first_seen,
         "audio_near_dups": _q_audio_near_dups,
         "frame_near_dups": _q_frame_near_dups,
         "embedding_neardup_pairs": _q_embedding_neardup,

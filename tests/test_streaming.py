@@ -76,3 +76,37 @@ def test_stream_dedup_first_seen(spark, corpus_rows, tmp_path):
         assert all(final[s] == 1 for s in sigs_b1)
     finally:
         q.stop()
+
+
+def test_driver_streaming_entry_first_seen_invariants(spark):
+    """The driver-contract streaming entry: one emit per canonical sig,
+    re-delivered rows suppressed, batch-2 novelty admitted."""
+    import __spark_entry__ as M
+
+    from tbdedup_spark import synth
+
+    out = M.queries()["streaming_first_seen_dedup"](spark, "").collect()
+    sigs = [r.sig for r in out]
+    assert len(sigs) == len(set(sigs))  # exactly one emit per signature
+
+    # ground truth: unique canonical sigs over the union of both batches =
+    # unique normalized (pixels, caption) pairs of bases 0..159
+    rows = [r for b in range(160) for r in synth.rows_for_base(b, 42)]
+    import hashlib
+
+    def canon(r):
+        return hashlib.sha256(
+            r.pixels.tobytes() + b"|" + " ".join(r.caption.lower().split()).encode()
+        ).hexdigest()
+
+    n_unique = len({canon(r) for r in rows})
+    # the operator's sig definition may differ in detail from this sketch;
+    # compare against the batch operator instead for exactness
+    from tbdedup_spark.operators import exact
+
+    img_rows = synth.to_spark_rows(rows)
+    from tbdedup_spark import schema as _schema
+
+    df = spark.createDataFrame(img_rows, _schema.IMAGES)
+    want = exact.signatures(df).select("sig").distinct().count()
+    assert len(sigs) == want, (len(sigs), want, n_unique)
