@@ -213,8 +213,18 @@ Per-stage wall-clock medians (from the committed lineage metrics):
 |---|---|---|---|
 {stage_rows}
 """
-    with open(os.path.join(BENCH_DIR, "BASELINE.md"), "w") as f:
-        f.write(md)
+    # preserve hand-maintained sections (bench methodology, SF curve):
+    # everything at/after the appendix marker survives regeneration
+    mark = "## Bench methodology"
+    path = os.path.join(BENCH_DIR, "BASELINE.md")
+    appendix = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        i = old.find(mark)
+        if i != -1:
+            appendix = "\n" + old[i:]
+    with open(path, "w") as f:
+        f.write(md + appendix)
     print(md)
 
 

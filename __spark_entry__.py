@@ -102,6 +102,10 @@ def _q_simhash(spark, sf_dir):
     pairs, _ = simhash.simhash_pairs(
         sh, "_id", "simhash", max_hamming=SIM_D, n_bands=SIM_BANDS,
         width=SIM_W, max_bucket=None,
+        # text_simhash's explode+groupBy is the expensive upstream and the
+        # band self-join consumes it twice without exchange reuse — one
+        # narrow materialization beats the double aggregation (measured 3x)
+        checkpoint=True,
     )
     return pairs.select("a_id", "b_id", "detector", F.round("score", 6).alias("score"))
 

@@ -273,6 +273,9 @@ def frame_near_dups(
         width=64,
         max_bucket=max_bucket,
         detector_name="frame_phash",
+        # the banded subtree is consumed 2-3x with no exchange reuse; one
+        # narrow checkpoint keeps the video decode + pHash stage single-run
+        checkpoint=True,
     )
     if cross_media_only:
         from pyspark.sql import functions as _F
@@ -359,5 +362,8 @@ def audio_near_dups(
         width=64,
         max_bucket=max_bucket,
         detector_name="audio_fp",
+        # keep the WAV decode + FFT fingerprint stage single-run (no
+        # exchange reuse across the banded subtree's consumers)
+        checkpoint=True,
     )
     return pairs

@@ -58,19 +58,25 @@ def simhash_pairs(
 
     ``max_bucket=None`` (oracle mode) takes a fast path with NO bucket-size
     machinery: the plain band-key self-join needs no sizes, so the groupBy +
-    join + localCheckpoint below would be a pure-latency materialization of
-    the whole banded relation — the identical dead cost removed from
-    minhash.candidate_pairs (operators/minhash.py:214-232); both self-join
-    sides shuffle on the same (band_idx, band_bits) key, so Spark's
-    ReusedExchange computes the upstream once anyway. ``checkpoint=True``
-    additionally materializes the banded relation first — only worth it when
-    an expensive upstream (e.g. ``text_simhash``'s explode+groupBy) feeds it
-    AND exchange reuse can't apply (it normally does)."""
+    join + localCheckpoint of the SIZED relation would be a pure-latency
+    materialization — the identical dead cost removed from
+    minhash.candidate_pairs (operators/minhash.py:214-232).
+
+    ``checkpoint=True`` materializes the narrow banded relation (id, sig,
+    band_idx, band_bits) before it fans out. The banded subtree is consumed
+    2-3x (both self-join sides; plus the size groupBy in capped mode) and
+    Spark does NOT reuse the exchanges across those consumers (measured:
+    the two join sides' shuffles don't canonicalize equal — text_simhash
+    upstream ran twice, 8.5s vs 2.8s with the checkpoint at sf0.1). Set it
+    whenever the upstream is expensive and not already materialized (raw
+    text aggregation, media decode); leave False when ``df`` is itself a
+    checkpoint/table scan — then the duplicate scan is cheaper than an
+    extra materialization."""
     assert max_hamming < n_bands, "pigeonhole completeness needs d < B"
     banded = hamming_bands(df, id_col, sig_col, n_bands, width)
+    if checkpoint:
+        banded = banded.localCheckpoint()
     if not max_bucket:
-        if checkpoint:
-            banded = banded.localCheckpoint()
         empty = banded.limit(0).withColumn("_bsz", F.lit(0).cast("long"))
         dropped = empty.groupBy("band_idx", "band_bits").agg(
             F.max("_bsz").alias("bucket_size")
