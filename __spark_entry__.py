@@ -39,10 +39,17 @@ EMB_DIM = 64
 NEARDUP_TAU = 0.9   # embedding-cosine near-dup threshold
 NEARDUP_HAM = 3     # signature hamming bound (detector contract)
 NEARDUP_BANDS = 4   # pigeonhole: complete for hamming <= bands - 1
+# scale-path variant: a 16-bit signature has only 4-bit band keys (16
+# values) — buckets saturate quadratically as n grows (measured: the
+# uncapped 16-bit query went 14x at 10x data, BENCH/BASELINE.md). The
+# production shape widens the signature with corpus size AND caps buckets:
+NEARDUP2_BITS = 32   # 8-bit band keys: 256 values/band
+NEARDUP2_CAP = 256   # bucket cap — dropped, reported, oracle-MIRRORED
 SEED = 42
 P = text.MERSENNE_P
 COEF = text.perm_coeffs(N_PERM, SEED)
 PROJ = vectors.seeded_projections(ANN_BITS, EMB_DIM, SEED)
+PROJ2 = vectors.seeded_projections(NEARDUP2_BITS, EMB_DIM, SEED)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -206,19 +213,43 @@ def _q_embedding_neardup(spark, sf_dir):
     64-way conditional-sum groupBy builds embeddings; ann.neardup_pairs bands
     a 16-bit hyperplane signature (pigeonhole-complete for hamming <= 3) and
     verifies cosine >= tau inside buckets only — never all-pairs."""
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split(text.norm_text("text"), " ")).alias("_tok")
-    ).withColumn("_h", text.hash60("_tok"))
-    emb = (
-        toks.groupBy("doc_id")
-        .agg(*text.hashed_bow_sums("_h", EMB_DIM))
-        .select("doc_id", text.hashed_bow_assemble(EMB_DIM).alias("emb"))
-    )
+    emb = _doc_embeddings(spark, sf_dir)
     return ann.neardup_pairs(
         emb, "doc_id", "emb", tau=NEARDUP_TAU,
         n_bits=ANN_BITS, dim=EMB_DIM, seed=SEED,
         max_hamming=NEARDUP_HAM, n_bands=NEARDUP_BANDS, max_bucket=None,
+    )
+
+
+def _doc_embeddings(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(text.norm_text("text"), " ")).alias("_tok")
+    ).withColumn("_h", text.hash60("_tok"))
+    return (
+        toks.groupBy("doc_id")
+        .agg(*text.hashed_bow_sums("_h", EMB_DIM))
+        .select("doc_id", text.hashed_bow_assemble(EMB_DIM).alias("emb"))
+    )
+
+
+def _q_embedding_neardup_capped(spark, sf_dir):
+    """The SCALE-PATH embedding near-dup detector, oracle-mirrored INCLUDING
+    its skew valve — the first cap whose dropped-bucket semantics the DuckDB
+    oracle verifies exactly (the SQL builds the same banded join and filters
+    buckets > cap). Contract: hamming(sig32) <= 3 AND cosine >= tau over
+    SURVIVING band buckets only. Why this variant exists: the 16-bit
+    signature of `embedding_neardup_pairs` has 4-bit band keys (16 values) —
+    its uncapped buckets grow ~n/16 and the self-join goes quadratic
+    (measured 14x time at 10x data); the production shape widens the
+    signature with corpus size (32 bits -> 256-value bands here) and caps
+    the residual hot buckets, reported never silent."""
+    emb = _doc_embeddings(spark, sf_dir)
+    return ann.neardup_pairs(
+        emb, "doc_id", "emb", tau=NEARDUP_TAU,
+        n_bits=NEARDUP2_BITS, dim=EMB_DIM, seed=SEED,
+        max_hamming=NEARDUP_HAM, n_bands=NEARDUP_BANDS,
+        max_bucket=NEARDUP2_CAP,
     )
 
 
@@ -696,6 +727,47 @@ SELECT a_id, b_id, score FROM p WHERE ham <= {NEARDUP_HAM} AND score >= {NEARDUP
 """
 
 
+def _embedding_neardup_capped_sql() -> str:
+    """Banded-join mirror WITH the bucket cap — NOT brute force: the capped
+    result is 'pairs sharing >= 1 SURVIVING band bucket', so the oracle must
+    build the same bands, drop the same over-cap buckets, and verify the
+    same hamming+cosine contract."""
+    sums, assemble = text.hashed_bow_sql("h", EMB_DIM)
+    proj2 = lambda j: "[" + ", ".join(repr(x) for x in PROJ2[j]) + "]"
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {proj2(j)}) > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(NEARDUP2_BITS)
+    )
+    bits_per = NEARDUP2_BITS // NEARDUP_BANDS
+    mask = (1 << bits_per) - 1
+    return f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS t FROM d),
+h0 AS (SELECT doc_id, {_h60_sql('t')} AS h FROM tok),
+sums AS (SELECT doc_id, {', '.join(sums)} FROM h0 GROUP BY doc_id),
+emb AS (SELECT doc_id, {assemble} AS v FROM sums),
+nrm AS (SELECT doc_id, v, sqrt(list_dot_product(v, v)) AS nv, {sig_terms} AS sig FROM emb),
+bands AS (
+  SELECT doc_id, sig, band_idx, (sig >> (band_idx * {bits_per})) & {mask} AS band_bits
+  FROM nrm, unnest({list(range(NEARDUP_BANDS))}) AS u(band_idx)
+),
+bsz AS (SELECT band_idx, band_bits, count(*) AS c FROM bands GROUP BY 1, 2),
+kept AS (SELECT b.* FROM bands b JOIN bsz USING (band_idx, band_bits) WHERE c <= {NEARDUP2_CAP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM kept a JOIN kept b USING (band_idx, band_bits)
+  WHERE a.doc_id < b.doc_id
+),
+p AS (
+  SELECT c.a_id, c.b_id,
+         round(list_dot_product(x.v, y.v) / (x.nv * y.nv), 6) AS score,
+         bit_count(xor(x.sig, y.sig)) AS ham
+  FROM cand c JOIN nrm x ON x.doc_id = c.a_id JOIN nrm y ON y.doc_id = c.b_id
+)
+SELECT a_id, b_id, score FROM p WHERE ham <= {NEARDUP_HAM} AND score >= {NEARDUP_TAU}
+"""
+
+
 def _lang_id_sql() -> str:
     markers = {
         "en": ["the", "and", "of", "to", "is"],
@@ -803,6 +875,7 @@ SELECT doc_id, list_min(list_transform(sh, s -> {_h60_sql('s')})) AS fp FROM s
         "ann_topk_bruteforce": _ann_bruteforce_sql(),
         "ann_topk_lsh": _ann_lsh_sql(),
         "embedding_neardup_pairs": _embedding_neardup_sql(),
+        "embedding_neardup_capped": _embedding_neardup_capped_sql(),
         "scan_filter_project": """
 SELECT l_orderkey, l_linenumber,
        round(l_extendedprice * (1 - l_discount), 4) AS revenue
@@ -920,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dups": _q_audio_near_dups,
         "frame_near_dups": _q_frame_near_dups,
         "embedding_neardup_pairs": _q_embedding_neardup,
+        "embedding_neardup_capped": _q_embedding_neardup_capped,
         "scan_filter_project": _q_scan_filter,
         "group_agg": _q_group_agg,
         "topk_per_group": _q_topk_per_group,

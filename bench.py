@@ -48,7 +48,7 @@ BENCH_QUERIES = [
     "substr_containment_pairs",
     "dedup_clusters",
     "ngram_jaccard_pairs",
-    "embedding_neardup_pairs",
+    "embedding_neardup_capped",
     "doc_fingerprint",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
