@@ -527,6 +527,72 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _q_asof_join_tolerance(spark, sf_dir):
+    """As-of join WITH a max-gap tolerance (pandas merge_asof semantics):
+    matches older than 120s are nulled. Exercises the microsecond-precision
+    gap (events carry sub-second timestamps; whole-second truncation would
+    keep a 120.4s-stale match — the ADVICE r3 defect, now oracle-checked).
+    DuckDB mirror: native ASOF LEFT JOIN + an epoch_us gap filter."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof.asof_join(
+        clicks, views, by="user_id", time_col="ts",
+        right_cols=["view_value"], tolerance_s=120,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_us"),
+        F.unix_micros(F.col("ts_r").cast("timestamp")).alias("view_us"),
+        F.round("view_value_r", 6).alias("view_value"),
+    )
+
+
+def _q_rolling_agg(spark, sf_dir):
+    """Rolling window aggregate: per-user moving average of the last 4
+    events (3 preceding + current) in (ts, event_id) order. Hot-key caveat
+    as for sessionize: user_id partitions are real bounded entities."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("rolling_avg"),
+    )
+
+
+def _q_cube_agg(spark, sf_dir):
+    """CUBE aggregate (all grouping-set combinations) over orders —
+    completes the rollup/cube subtotal family."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("double")), 2).alias("sum_price"),
+    )
+
+
+def _q_anti_join(spark, sf_dir):
+    """Left ANTI join: customers who ordered in 1995-03 but not in 1995-04 —
+    the churn query shape; both sides pre-aggregated so the anti join is
+    distinct-key vs distinct-key."""
+    o = _t(spark, sf_dir, "orders")
+    m = lambda mo: (
+        o.filter(F.date_format("o_orderdate", "yyyy-MM") == mo)
+        .select("o_custkey")
+        .distinct()
+    )
+    return m("1995-03").join(m("1995-04"), "o_custkey", "left_anti")
+
+
 def _q_bpe_token_counts(spark, sf_dir):
     """BPE-ish regex tokenization (letters / digits / single punctuation
     runs — the GPT-2 pre-tokenizer shape) next to the whitespace count;
@@ -940,6 +1006,47 @@ m AS (
 )
 SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions FROM m GROUP BY user_id
 """,
+        "asof_join_tolerance": """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, ts, MAX(value) AS view_value FROM events
+  WHERE event_type = 'view' GROUP BY user_id, ts
+),
+m AS (
+  SELECT c.event_id, c.user_id, c.ts AS cts, v.ts AS vts, v.view_value,
+         CASE WHEN v.ts IS NOT NULL
+                   AND epoch_us(c.ts) - epoch_us(v.ts) <= 120 * 1000000
+              THEN 1 ELSE 0 END AS in_tol
+  FROM clicks c ASOF LEFT JOIN views v
+    ON c.user_id = v.user_id AND c.ts >= v.ts
+)
+SELECT event_id, user_id,
+       epoch_us(cts) AS click_us,
+       CASE WHEN in_tol = 1 THEN epoch_us(vts) END AS view_us,
+       CASE WHEN in_tol = 1 THEN round(view_value, 6) END AS view_value
+FROM m
+""",
+        "rolling_agg": """
+SELECT event_id, user_id,
+       round(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+         AS rolling_avg
+FROM events
+""",
+        "cube_agg": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(SUM(CAST(o_totalprice AS DOUBLE)), 2) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+        "anti_join": """
+SELECT DISTINCT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-04'
+""",
         "asof_join": """
 WITH clicks AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
@@ -1004,6 +1111,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": _q_set_ops,
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
+        "asof_join_tolerance": _q_asof_join_tolerance,
+        "rolling_agg": _q_rolling_agg,
+        "cube_agg": _q_cube_agg,
+        "anti_join": _q_anti_join,
         "bpe_token_counts": _q_bpe_token_counts,
         "rollup_agg": _q_rollup_agg,
     }
