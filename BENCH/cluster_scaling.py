@@ -223,6 +223,9 @@ Per-stage wall-clock medians (from the committed lineage metrics):
         i = old.find(mark)
         if i != -1:
             appendix = "\n" + old[i:]
+        else:
+            print(f"WARN: appendix marker {mark!r} not found in BASELINE.md; "
+                  "hand-maintained sections will NOT be preserved", flush=True)
     with open(path, "w") as f:
         f.write(md + appendix)
     print(md)

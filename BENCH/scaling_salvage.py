@@ -13,8 +13,9 @@ per-stage lineage metrics under BENCH/wh/c{n}_t{t}_e{1,4}. This script:
 
 Trial walls for already-completed trials are reconstructed from each run's
 committed metrics (sum isn't the wall — stages overlap — so cluster_run.py
-also logs a total 'pipeline_wall_s' metric; for runs predating that key the
-trial is re-run rather than guessed).
+logs a total 'pipeline_wall_s' metric since round 4). For runs PREDATING
+that key, pass the walls printed by the interrupted harness's stdout via
+SALVAGE_WALLS (see below); a trial with neither is re-run, never guessed.
 """
 
 from __future__ import annotations

@@ -56,6 +56,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _cleanup_at_exit(path: str) -> None:
+    """Reclaim a per-query temp dir when the driver process exits (it can't
+    be removed earlier: the query's returned DataFrame reads from it)."""
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+
+
 # =============================================================================
 # Spark-side queries
 # =============================================================================
@@ -307,6 +316,8 @@ def _q_image_dedup_clusters(spark, sf_dir):
     ensure_worker_pyfiles(spark)
     images = synth_dist.images_distributed(spark, n_bases=200, seed=SEED, partitions=8)
     wh = tempfile.mkdtemp(prefix="tbdedup_imgclusters_")
+    _cleanup_at_exit(wh)  # the returned DataFrame reads the warehouse for
+    # the rest of the session; reclaim it at process exit
     out = pipeline.run_pipeline(spark, images, wh)
     return out["clusters"]
 
@@ -365,6 +376,7 @@ def _q_streaming_first_seen(spark, sf_dir):
 
     ensure_worker_pyfiles(spark)
     base = tempfile.mkdtemp(prefix="tbdedup_stream_q_")
+    _cleanup_at_exit(base)
     inp, out, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
     b1 = synth_dist.images_distributed(spark, n_bases=120, seed=SEED, partitions=4)
     b1.write.mode("overwrite").parquet(os.path.join(inp, "b1"))

@@ -77,6 +77,12 @@ def jaccard_pairs(
         .filter(F.col("_rn") <= p_len)
         .select("_id", *blocks, "_tok")
     )
+    # the prefix subtree (explode + freq join + per-doc window) is consumed
+    # by both candidate self-join sides — plus the postings groupBy and cap
+    # filter in prefix_cap mode — and Spark does not reuse exchanges across
+    # those consumers (the measured premise of simhash_pairs' checkpoint):
+    # one narrow materialization runs the tokenize/window stage once
+    prefix = prefix.localCheckpoint()
 
     if prefix_cap is not None:
         postings = prefix.groupBy("_tok", *blocks).agg(

@@ -117,6 +117,13 @@ def ensure_worker_pyfiles(spark: SparkSession) -> None:
         subprocess.run(
             [sys.executable, os.path.join(root, "make_pyfiles.py")], check=False
         )
-    if os.path.exists(zip_path):
-        sc.addPyFile(zip_path)
+    if not os.path.exists(zip_path):
+        # fail HERE with a clear message — and leave the flag unset so a
+        # later call can retry — rather than silently continuing into an
+        # opaque ModuleNotFoundError inside executor UDF deserialization
+        raise RuntimeError(
+            f"cannot ship package to Python workers: {zip_path} missing and "
+            "make_pyfiles.py did not produce it (read-only checkout?)"
+        )
+    sc.addPyFile(zip_path)
     sc._tbdedup_pyfiles_added = True
