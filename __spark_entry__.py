@@ -242,6 +242,69 @@ def _doc_embeddings(spark, sf_dir):
     )
 
 
+DECONTAM_PROBES = ("slow hash batch", "part filter scan", "window fast query")
+
+
+def _q_ngram_topk(spark, sf_dir):
+    """Global word-3-gram frequency, top-20 — the n-gram-statistics primitive
+    of a training-data pipeline (LM contamination studies, corpus stats).
+    One explode + one count groupBy (map-side combined) + a 20-row
+    TakeOrdered; ties broken by the gram text so the result is total-ordered."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.split(text.norm_text("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= 3)
+    grams = d.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))")
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "gram")
+        .limit(20)
+    )
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark-decontamination primitive: which documents contain any of a
+    (small, broadcast) probe-phrase set as a substring — the test-set-overlap
+    check every LLM data pipeline runs before training. The probe relation
+    explodes from a literal array and the scan is one pass; at 10^12 rows the
+    probe side broadcasts and the contains() runs in codegen."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.norm_text("text").alias("norm")
+    )
+    probes = F.array(*[F.lit(p) for p in DECONTAM_PROBES])
+    hits = (
+        d.select("doc_id", "norm", F.explode(probes).alias("probe"))
+        .filter(F.expr("contains(norm, probe)"))
+    )
+    return hits.groupBy("doc_id").agg(F.count_distinct("probe").alias("n_hits"))
+
+
+def _q_hapax_counts(spark, sf_dir):
+    """Per-document count of hapax tokens (tokens appearing in exactly ONE
+    document corpus-wide) — the rare-token profile used for quality/
+    memorization analysis. Two groupBys over the distinct (doc, token)
+    relation; docs with zero hapaxes included via left join + coalesce."""
+    d = _t(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(text.norm_text("text"), " "))).alias("tok")
+    )
+    hapax = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") == 1)
+    per_doc = (
+        ex.join(hapax.select("tok"), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hapax"))
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select("doc_id", F.coalesce("n_hapax", F.lit(0)).alias("n_hapax"))
+    )
+
+
 def _q_embedding_neardup_capped(spark, sf_dir):
     """The SCALE-PATH embedding near-dup detector, oracle-mirrored INCLUDING
     its skew valve — the first cap whose dropped-bucket semantics the DuckDB
@@ -954,6 +1017,36 @@ SELECT doc_id, list_min(list_transform(sh, s -> {_h60_sql('s')})) AS fp FROM s
         "ann_topk_lsh": _ann_lsh_sql(),
         "embedding_neardup_pairs": _embedding_neardup_sql(),
         "embedding_neardup_capped": _embedding_neardup_capped_sql(),
+        "ngram_topk": f"""
+WITH d AS (SELECT string_split({_NORM}, ' ') AS toks FROM documents),
+g AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
+  FROM d WHERE len(toks) >= 3
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g
+GROUP BY gram ORDER BY n DESC, gram LIMIT 20
+""",
+        "decontaminate_overlap": f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+h AS (
+  SELECT doc_id, probe FROM d, unnest({list(DECONTAM_PROBES)}) AS u(probe)
+  WHERE contains(norm, probe)
+)
+SELECT doc_id, CAST(COUNT(DISTINCT probe) AS BIGINT) AS n_hits
+FROM h GROUP BY doc_id
+""",
+        "hapax_counts": f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+ex AS (SELECT doc_id, unnest(list_distinct(string_split(norm, ' '))) AS tok FROM d),
+hapax AS (SELECT tok FROM ex GROUP BY tok HAVING count(*) = 1),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hapax
+  FROM ex JOIN hapax USING (tok) GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(p.n_hapax, 0) AS n_hapax
+FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+""",
         "scan_filter_project": """
 SELECT l_orderkey, l_linenumber,
        round(l_extendedprice * (1 - l_discount), 4) AS revenue
@@ -1113,6 +1206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_near_dups": _q_frame_near_dups,
         "embedding_neardup_pairs": _q_embedding_neardup,
         "embedding_neardup_capped": _q_embedding_neardup_capped,
+        "ngram_topk": _q_ngram_topk,
+        "decontaminate_overlap": _q_decontaminate,
+        "hapax_counts": _q_hapax_counts,
         "scan_filter_project": _q_scan_filter,
         "group_agg": _q_group_agg,
         "topk_per_group": _q_topk_per_group,
