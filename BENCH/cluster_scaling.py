@@ -55,6 +55,25 @@ def _wait_port(port: int, timeout: float = 60.0) -> None:
     raise TimeoutError(f"port {port} never opened")
 
 
+def write_baseline_md(md: str) -> None:
+    """Write the scaling section of BENCH/BASELINE.md, preserving every
+    hand-maintained section at/after the appendix marker (bench methodology,
+    SF curve). Shared by cluster_scaling and scaling_merge."""
+    mark = "## Bench methodology"
+    path = os.path.join(BENCH_DIR, "BASELINE.md")
+    appendix = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        i = old.find(mark)
+        if i != -1:
+            appendix = "\n" + old[i:]
+        else:
+            print(f"WARN: appendix marker {mark!r} not found in BASELINE.md; "
+                  "hand-maintained sections will NOT be preserved", flush=True)
+    with open(path, "w") as f:
+        f.write(md + appendix)
+
+
 def start_cluster() -> list[subprocess.Popen]:
     env = dict(os.environ)
     env["SPARK_HOME"] = SPARK_HOME
@@ -213,21 +232,7 @@ Per-stage wall-clock medians (from the committed lineage metrics):
 |---|---|---|---|
 {stage_rows}
 """
-    # preserve hand-maintained sections (bench methodology, SF curve):
-    # everything at/after the appendix marker survives regeneration
-    mark = "## Bench methodology"
-    path = os.path.join(BENCH_DIR, "BASELINE.md")
-    appendix = ""
-    if os.path.exists(path):
-        old = open(path).read()
-        i = old.find(mark)
-        if i != -1:
-            appendix = "\n" + old[i:]
-        else:
-            print(f"WARN: appendix marker {mark!r} not found in BASELINE.md; "
-                  "hand-maintained sections will NOT be preserved", flush=True)
-    with open(path, "w") as f:
-        f.write(md + appendix)
+    write_baseline_md(md)
     print(md)
 
 

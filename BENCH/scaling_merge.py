@@ -113,16 +113,10 @@ metrics):
 |---|---|---|---|
 {stage_rows}
 """
-    mark = "## Bench methodology"
-    path = os.path.join(BENCH_DIR, "BASELINE.md")
-    appendix = ""
-    if os.path.exists(path):
-        old = open(path).read()
-        i = old.find(mark)
-        if i != -1:
-            appendix = "\n" + old[i:]
-    with open(path, "w") as f:
-        f.write(md + appendix)
+    sys.path.insert(0, BENCH_DIR)
+    from cluster_scaling import write_baseline_md
+
+    write_baseline_md(md)
     print(json.dumps({"scaling_efficiency": result["scaling_efficiency"],
                       "median_wall_1": med1, "median_wall_4": med4,
                       "trials": len(w1)}))

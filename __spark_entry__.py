@@ -268,19 +268,21 @@ def _q_ngram_topk(spark, sf_dir):
 
 def _q_decontaminate(spark, sf_dir):
     """Benchmark-decontamination primitive: which documents contain any of a
-    (small, broadcast) probe-phrase set as a substring — the test-set-overlap
-    check every LLM data pipeline runs before training. The probe relation
-    explodes from a literal array and the scan is one pass; at 10^12 rows the
-    probe side broadcasts and the contains() runs in codegen."""
+    (small) probe-phrase set as a substring — the test-set-overlap check
+    every LLM data pipeline runs before training. ZERO-shuffle plan: the
+    probe array is a literal and a higher-order `filter` counts matches
+    per row in codegen (no explode amplification, no groupBy — at 10^12
+    rows this is a pure map over the scan; probes are distinct so the
+    match count IS the distinct-hit count)."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", text.norm_text("text").alias("norm")
     )
     probes = F.array(*[F.lit(p) for p in DECONTAM_PROBES])
-    hits = (
-        d.select("doc_id", "norm", F.explode(probes).alias("probe"))
-        .filter(F.expr("contains(norm, probe)"))
+    n_hits = F.size(F.filter(probes, lambda p: F.contains(F.col("norm"), p)))
+    return (
+        d.select("doc_id", n_hits.cast("long").alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
     )
-    return hits.groupBy("doc_id").agg(F.count_distinct("probe").alias("n_hits"))
 
 
 def _q_hapax_counts(spark, sf_dir):
@@ -585,6 +587,10 @@ def _q_asof_join(spark, sf_dir):
     Views are pre-aggregated to one row per (user, ts) in BOTH engines so
     the equal-timestamp tie rule cannot differ. Timestamps are returned as
     epoch microseconds (engine-neutral)."""
+    return _asof_clicks_views(spark, sf_dir, tolerance_s=None)
+
+
+def _asof_clicks_views(spark, sf_dir, tolerance_s):
     e = _t(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     views = (
@@ -592,7 +598,10 @@ def _q_asof_join(spark, sf_dir):
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("view_value"))
     )
-    out = asof.asof_join(clicks, views, by="user_id", time_col="ts", right_cols=["view_value"])
+    out = asof.asof_join(
+        clicks, views, by="user_id", time_col="ts",
+        right_cols=["view_value"], tolerance_s=tolerance_s,
+    )
     return out.select(
         "event_id",
         "user_id",
@@ -608,24 +617,7 @@ def _q_asof_join_tolerance(spark, sf_dir):
     gap (events carry sub-second timestamps; whole-second truncation would
     keep a 120.4s-stale match — the ADVICE r3 defect, now oracle-checked).
     DuckDB mirror: native ASOF LEFT JOIN + an epoch_us gap filter."""
-    e = _t(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    views = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("view_value"))
-    )
-    out = asof.asof_join(
-        clicks, views, by="user_id", time_col="ts",
-        right_cols=["view_value"], tolerance_s=120,
-    )
-    return out.select(
-        "event_id",
-        "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_us"),
-        F.unix_micros(F.col("ts_r").cast("timestamp")).alias("view_us"),
-        F.round("view_value_r", 6).alias("view_value"),
-    )
+    return _asof_clicks_views(spark, sf_dir, tolerance_s=120)
 
 
 def _q_rolling_agg(spark, sf_dir):
