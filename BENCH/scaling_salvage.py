@@ -67,7 +67,9 @@ def main() -> None:
         for t in range(trials):
             for level, cores, acc in (("e1", cs.EXEC_CORES, all1), ("e4", 4 * cs.EXEC_CORES, all4)):
                 tag = f"c{n_bases}_t{t}_{level}"
-                wall = given.get(f"t{t}_{level}") or trial_wall(tag)
+                wall = given.get(f"t{t}_{level}")
+                if wall is None:  # "or" would treat a supplied 0.0 as missing
+                    wall = trial_wall(tag)
                 if wall is not None:
                     acc.append({"wall_s": wall, "tag": tag, "reused": True})
                     print(f"reuse {tag}: wall={wall}", flush=True)

@@ -169,7 +169,12 @@ def _q_ngram_jaccard(spark, sf_dir):
         "doc_id", "lang",
         F.array_distinct(F.split(text.norm_text("text"), " ")).alias("toks"),
     )
-    pairs, _dropped = setsim.jaccard_pairs(d, "doc_id", "toks", NGRAM_TAU, block_cols=("lang",))
+    pairs, _dropped = setsim.jaccard_pairs(
+        d, "doc_id", "toks", NGRAM_TAU, block_cols=("lang",),
+        # uncapped single-shot path over a plain scan: the eager prefix
+        # materialization measured ~5% pure overhead here (ADVICE r4)
+        checkpoint=False,
+    )
     return pairs.select("a_id", "b_id", F.round("score", 6).alias("score"))
 
 
@@ -213,8 +218,22 @@ def _q_fingerprint(spark, sf_dir):
     )
 
 
+# documented saturation bound for the 16-bit uncapped variant: 4-bit band
+# keys have 16 values, so by ~20k rows the mean bucket exceeds the capped
+# variant's whole cap and the self-join is deep into its quadratic regime
+# (measured 14x time at 10x data from 5k rows, BENCH/BASELINE.md round 4)
+NEARDUP_UNCAPPED_MAX_ROWS = 20_000
+
+
 def _q_embedding_neardup(spark, sf_dir):
-    """Fifth dedup detector: embedding-cosine near-dup over documents.
+    """Fifth dedup detector: embedding-cosine near-dup over documents —
+    the ORACLE-SCALE variant only. DO NOT use this shape in production:
+    the 16-bit signature's 4-bit band keys (16 values) saturate quadratically
+    as the corpus grows (measured 14x time at 10x data, BENCH/BASELINE.md);
+    ``embedding_neardup_capped`` (32-bit signature + oracle-mirrored bucket
+    cap) is the production path and the one the bench tracks. A row-count
+    guard makes misuse loud: above NEARDUP_UNCAPPED_MAX_ROWS this query
+    RAISES instead of melting (tests/test_round5.py).
 
     The embedding is a deterministic 64-dim feature-hashed bag-of-words of
     the document text (dimension = token-hash % 64, value = count) — computed
@@ -227,6 +246,7 @@ def _q_embedding_neardup(spark, sf_dir):
         emb, "doc_id", "emb", tau=NEARDUP_TAU,
         n_bits=ANN_BITS, dim=EMB_DIM, seed=SEED,
         max_hamming=NEARDUP_HAM, n_bands=NEARDUP_BANDS, max_bucket=None,
+        uncapped_max_rows=NEARDUP_UNCAPPED_MAX_ROWS,
     )
 
 
@@ -282,6 +302,52 @@ def _q_decontaminate(spark, sf_dir):
     return (
         d.select("doc_id", n_hits.cast("long").alias("n_hits"))
         .filter(F.col("n_hits") > 0)
+    )
+
+
+# decontamination probe-table config: one held-out source plays the
+# benchmark test set; its distinct word-3-grams are the probe relation
+DECONTAM_HOLDOUT = "src19"
+DECONTAM_N = 3
+
+
+def _word_ngrams(toks_col: str, n: int):
+    """array<string> of word n-grams over an array-of-tokens column."""
+    return F.expr(
+        f"transform(sequence(1, size({toks_col}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({toks_col}, i, {n})))"
+    )
+
+
+def _q_decontaminate_ngram_join(spark, sf_dir):
+    """Benchmark decontamination against a probe TABLE — the generalization
+    of ``decontaminate_overlap``'s 3-literal array to a relation of thousands
+    of n-grams, the shape that actually runs against a held-out test set at
+    100 TB (VERDICT r4 task 3; reference analog: the planner's regex
+    predicate generalized to a relation, tbdedup/planner/plan.py:96-102).
+
+    The held-out source's documents ARE the test set; their distinct word-
+    3-grams form the probe relation. Each training document reports how many
+    DISTINCT probe n-grams it contains. Plan shape: explode both sides to
+    word 3-grams, distinct, then a BROADCAST equi-join on the gram (the probe
+    side is a benchmark test set — millions of grams at worst, broadcastable
+    by construction; were it not, the same plan minus the broadcast hint is a
+    bucketed shuffle equi-join) and one count groupBy per doc. No substring
+    scan, no quadratic anything: cost is linear in corpus tokens."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(text.norm_text("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= DECONTAM_N)
+    grams = lambda df: df.select(
+        "doc_id", F.explode(_word_ngrams("toks", DECONTAM_N)).alias("gram")
+    )
+    probe = grams(d.filter(F.col("source") == DECONTAM_HOLDOUT)).select("gram").distinct()
+    train = grams(d.filter(F.col("source") != DECONTAM_HOLDOUT)).dropDuplicates(
+        ["doc_id", "gram"]
+    )
+    return (
+        train.join(F.broadcast(probe), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
     )
 
 
@@ -421,30 +487,55 @@ def _q_frame_near_dups(spark, sf_dir):
     return multimodal.frame_near_dups(media, every_k=1, max_hamming=3, n_bands=8)
 
 
+# Stable landing spot for the streaming query's per-batch signature tables:
+# the DuckDB mirror reads these files by absolute path (oracle_sql() returns
+# a static string, so the location cannot be a per-run tempdir). The Spark
+# query overwrites both subdirs on every run, making re-runs deterministic.
+STREAM_ORACLE_DIR = "/tmp/tbdedup_stream_oracle"
+
+
 def _q_streaming_first_seen(spark, sf_dir):
     """Structured-streaming stateful first-seen dedup under the driver
-    contract (rows-only: applyInPandasWithState is the documented
-    non-SQL-expressible custom stateful operator). Two parquet batches land
-    in a temp dir — the second RE-DELIVERS an overlapping slice — and the
-    streaming query (streaming/ingest.stream_dedup_first_seen) must emit
-    each canonical signature exactly once: batch 1's min-id row per sig,
-    then only the genuinely-new sigs from batch 2 (re-arrivals suppressed
-    by the per-group state). NoTimeout mode for the finite run; each batch
-    is fully processed before the next lands, so the emitted row set is
-    deterministic. Invariants gated in tests/test_streaming.py."""
+    contract. Two parquet batches land in a temp dir — the second
+    RE-DELIVERS an overlapping slice — and the streaming query
+    (streaming/ingest.stream_dedup_first_seen) must emit each canonical
+    signature exactly once: batch 1's min-id row per sig, then only the
+    genuinely-new sigs from batch 2 (re-arrivals suppressed by the per-group
+    state). NoTimeout mode for the finite run; each batch is fully processed
+    before the next lands (maxFilesPerTrigger exceeds each batch's file
+    count, so one trigger per batch), so the emitted row set is
+    deterministic. Invariants gated in tests/test_streaming.py.
+
+    ORACLE (new in r5 — VERDICT r4 task 2): with this deterministic
+    two-batch delivery, first-seen IS SQL-expressible — per sig, the min
+    image_id within the earliest batch containing it. The query materializes
+    each batch's signature relation (computed through the BATCH path,
+    exact.signatures — an independent execution of the projection the
+    streaming side also runs) at STREAM_ORACLE_DIR, and the DuckDB mirror
+    recomputes first-seen from those files. What the green row proves: the
+    applyInPandasWithState operator's cross-trigger state semantics match
+    the declarative restatement. Reference analog: the dedup writer's
+    first-record-wins rule, tbdedup/dedup/__init__.py:140-157."""
     import os
+    import shutil
     import tempfile
 
     from tbdedup_spark import synth_dist
+    from tbdedup_spark.operators import exact
     from tbdedup_spark.session import ensure_worker_pyfiles
     from tbdedup_spark.streaming import ingest
 
     ensure_worker_pyfiles(spark)
     base = tempfile.mkdtemp(prefix="tbdedup_stream_q_")
     _cleanup_at_exit(base)
+    shutil.rmtree(STREAM_ORACLE_DIR, ignore_errors=True)  # stale parts from
+    # a previous run must not leak into the mirror's glob
     inp, out, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
     b1 = synth_dist.images_distributed(spark, n_bases=120, seed=SEED, partitions=4)
     b1.write.mode("overwrite").parquet(os.path.join(inp, "b1"))
+    exact.signatures(b1).select("image_id", "sig").write.mode("overwrite").parquet(
+        os.path.join(STREAM_ORACLE_DIR, "b1")
+    )
     q = ingest.stream_dedup_first_seen(
         spark, inp, out, ckpt, state_ttl_hours=None, max_files_per_trigger=1000
     )
@@ -456,6 +547,9 @@ def _q_streaming_first_seen(spark, sf_dir):
             .filter(F.col("image_id") >= "img000000080")
         )
         b2.write.mode("overwrite").parquet(os.path.join(inp, "b2"))
+        exact.signatures(b2).select("image_id", "sig").write.mode("overwrite").parquet(
+            os.path.join(STREAM_ORACLE_DIR, "b2")
+        )
         q.processAllAvailable()
     finally:
         q.stop()
@@ -503,8 +597,9 @@ def _q_topk_per_group(spark, sf_dir):
     Hot-key caveat (the repo convention, operators/exact.py + asof.py):
     Window.partitionBy places each o_custkey's rows on ONE task — fine here
     because customers are real entities with bounded order counts; for a
-    group column with power-law keys, pre-aggregate per (key, salt) with a
-    partial top-k and re-rank the union, or use groupBy + min_by ladders."""
+    group column with power-law keys use the EXECUTABLE salted variant,
+    ``topk_per_group_salted`` (operators/topk.py — partial per-(key, salt)
+    top-k then re-rank), which this oracle also certifies row-identical."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
@@ -512,6 +607,24 @@ def _q_topk_per_group(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("o_custkey", "o_orderkey", "rnk")
     )
+
+
+def _q_topk_per_group_salted(spark, sf_dir):
+    """The SKEW-SAFE variant of ``topk_per_group`` — same contract, same
+    oracle, two-phase salted plan (operators/topk.py): partial top-3 per
+    (custkey, salt) windows first, so no single task ever holds a whole hot
+    key, then a re-rank over the <= 3*n_salt survivors per key. Row-identical
+    to the single-window form because (o_orderdate, o_orderkey) is a total
+    order; the green oracle row IS the equivalence proof. This is the
+    executable form of the hot-key caveat documented on _q_topk_per_group /
+    _q_sessionize / _q_rolling_agg."""
+    from tbdedup_spark.operators import topk
+
+    o = _t(spark, sf_dir, "orders")
+    out = topk.topk_per_group(
+        o, ["o_custkey"], ["o_orderdate", "o_orderkey"], k=3, n_salt=8
+    )
+    return out.select("o_custkey", "o_orderkey", "rnk")
 
 
 def _q_count_distinct(spark, sf_dir):
@@ -1028,6 +1141,31 @@ h AS (
 SELECT doc_id, CAST(COUNT(DISTINCT probe) AS BIGINT) AS n_hits
 FROM h GROUP BY doc_id
 """,
+        "decontaminate_ngram_join": f"""
+WITH d AS (SELECT doc_id, source, string_split({_NORM}, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, len(toks) - {DECONTAM_N - 1}),
+                i -> {" || ' ' || ".join(f"toks[i + {j}]" for j in range(DECONTAM_N))})) AS gram
+  FROM d WHERE len(toks) >= {DECONTAM_N}
+),
+probe AS (SELECT DISTINCT gram FROM g WHERE source = '{DECONTAM_HOLDOUT}'),
+train AS (SELECT DISTINCT doc_id, gram FROM g WHERE source != '{DECONTAM_HOLDOUT}')
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM train JOIN probe USING (gram) GROUP BY doc_id
+""",
+        "streaming_first_seen_dedup": f"""
+WITH u AS (
+  SELECT image_id, sig, 1 AS batch
+  FROM read_parquet('{STREAM_ORACLE_DIR}/b1/*.parquet')
+  UNION ALL
+  SELECT image_id, sig, 2 AS batch
+  FROM read_parquet('{STREAM_ORACLE_DIR}/b2/*.parquet')
+),
+fb AS (SELECT sig, min(batch) AS batch FROM u GROUP BY sig)
+SELECT min(u.image_id) AS image_id, u.sig AS sig
+FROM u JOIN fb USING (sig, batch) GROUP BY u.sig
+""",
         "hapax_counts": f"""
 WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
 ex AS (SELECT doc_id, unnest(list_distinct(string_split(norm, ' '))) AS tok FROM d),
@@ -1055,6 +1193,15 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
         "topk_per_group": """
+SELECT o_custkey, o_orderkey, CAST(rnk AS INT) AS rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+""",
+        # deliberately the SAME single-window SQL as topk_per_group: the
+        # green row proves the two-phase salted plan is row-identical
+        "topk_per_group_salted": """
 SELECT o_custkey, o_orderkey, CAST(rnk AS INT) AS rnk FROM (
   SELECT o_custkey, o_orderkey,
          row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk
@@ -1200,10 +1347,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_capped": _q_embedding_neardup_capped,
         "ngram_topk": _q_ngram_topk,
         "decontaminate_overlap": _q_decontaminate,
+        "decontaminate_ngram_join": _q_decontaminate_ngram_join,
         "hapax_counts": _q_hapax_counts,
         "scan_filter_project": _q_scan_filter,
         "group_agg": _q_group_agg,
         "topk_per_group": _q_topk_per_group,
+        "topk_per_group_salted": _q_topk_per_group_salted,
         "count_distinct_agg": _q_count_distinct,
         "broadcast_join_agg": _q_join_agg,
         "derived_key_group": _q_derived_key_group,

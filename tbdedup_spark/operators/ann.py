@@ -116,9 +116,20 @@ def neardup_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     max_bucket: int | None = None,
+    uncapped_max_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (a_id, b_id, score) with a < b,
     hamming(sig(a), sig(b)) <= max_hamming AND cosine(a, b) >= tau.
+
+    SCALE WARNING — narrow signature + no cap is a quadratic footgun: with
+    ``n_bits=16`` and 4 bands the band key has only 16 values, so uncapped
+    bucket sizes grow ~n/16 and the band self-join goes O(n²) (measured: 14x
+    time at 10x data, BENCH/BASELINE.md round 4). The production shape widens
+    ``n_bits`` with corpus size AND sets ``max_bucket`` (dropped buckets are
+    reported by the underlying ``simhash_pairs``). ``uncapped_max_rows``
+    makes the footgun loud instead of slow: when ``max_bucket is None`` and
+    the input exceeds it, raise before planning the join (costs one count()
+    of the narrow signature relation — only on guarded uncapped calls).
 
     The Hamming bound over the ``n_bits`` hyperplane signature IS part of the
     detector contract (the classic SimHash near-dup semantics), which is what
@@ -142,6 +153,16 @@ def neardup_pairs(
     # signature relation is tiny (id + vec + long); reuse it for banding and
     # both verify joins without recomputing the n_bits dot products
     sigs = sigs.localCheckpoint()
+    if max_bucket is None and uncapped_max_rows is not None:
+        n = sigs.count()  # the checkpoint is already materialized — cheap
+        if n > uncapped_max_rows:
+            raise ValueError(
+                f"neardup_pairs: {n} rows exceeds uncapped_max_rows="
+                f"{uncapped_max_rows} with max_bucket=None — the uncapped "
+                f"{n_bits}-bit banded self-join saturates quadratically at "
+                "this size; set max_bucket (and widen n_bits) for the "
+                "production path, e.g. embedding_neardup_capped's config"
+            )
     cand, _dropped = simhash.simhash_pairs(
         sigs.select("_vid", "_esig"),
         id_col="_vid",

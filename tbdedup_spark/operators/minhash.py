@@ -90,8 +90,16 @@ def minhash_signatures(
     if carry == "hashes32" and hash_fn is not text.hash32:
         # the int32 fold below is a bijection of [0, 2^32) ONLY; a 60-bit
         # hash would silently wrap, making the fold non-injective and the
-        # verify Jaccard wrong with no error (ADVICE r3)
-        raise ValueError('carry="hashes32" requires hash_fn=text.hash32 (32-bit domain)')
+        # verify Jaccard wrong with no error (ADVICE r3). The check is an
+        # identity allowlist BY DESIGN (ADVICE r4): Column-valued hash fns
+        # carry no introspectable output domain, so "is the range 32-bit"
+        # cannot be validated structurally — text.hash32 is the one function
+        # this module ships with that contract, and a caller with another
+        # 32-bit hash should fold to int32 before calling (carry="hashes").
+        raise ValueError(
+            'carry="hashes32" requires hash_fn=text.hash32 (the only hash '
+            "with a declared 32-bit output domain; see source comment)"
+        )
     exploded = exploded_shingles(df, id_col, text_col, k).withColumn(
         "_h", hash_fn("_sh")
     )

@@ -47,6 +47,7 @@ def jaccard_pairs(
     tau: float,
     block_cols: tuple[str, ...] = (),
     prefix_cap: int | None = None,
+    checkpoint: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """(pairs, dropped_tokens): all (a_id, b_id, score) with token-set
     Jaccard ≥ tau (a_id < b_id), optionally restricted to pairs agreeing on
@@ -57,6 +58,14 @@ def jaccard_pairs(
     candidate join; hotter tokens are dropped and reported in
     ``dropped_tokens`` (token, *block_cols, postings). ``None`` = exact
     (oracle) mode, empty report.
+
+    ``checkpoint``: materialize the prefix relation before it fans out
+    (mirrors simhash_pairs' knob, ADVICE r4). Default True — the prefix
+    subtree is consumed by both candidate self-join sides (plus the postings
+    groupBy in capped mode) without exchange reuse. Set False on uncapped
+    single-shot paths where the upstream is a plain table scan: the repo's
+    own audit measured the eager materialization as ~5% pure overhead at
+    sf0.1 there (BENCH/PLANS.md round-4 self-review).
     """
     blocks = list(block_cols)
     docs = df.select(
@@ -82,7 +91,8 @@ def jaccard_pairs(
     # filter in prefix_cap mode — and Spark does not reuse exchanges across
     # those consumers (the measured premise of simhash_pairs' checkpoint):
     # one narrow materialization runs the tokenize/window stage once
-    prefix = prefix.localCheckpoint()
+    if checkpoint:
+        prefix = prefix.localCheckpoint()
 
     if prefix_cap is not None:
         postings = prefix.groupBy("_tok", *blocks).agg(

@@ -73,10 +73,14 @@ def simhash_pairs(
     checkpoint/table scan — then the duplicate scan is cheaper than an
     extra materialization."""
     assert max_hamming < n_bands, "pigeonhole completeness needs d < B"
+    if max_bucket is not None and max_bucket < 1:
+        # 0 is not "drop everything" and must not silently alias the
+        # uncapped fast path (ADVICE r4): reject it loudly
+        raise ValueError(f"max_bucket must be >= 1 or None (uncapped), got {max_bucket}")
     banded = hamming_bands(df, id_col, sig_col, n_bands, width)
     if checkpoint:
         banded = banded.localCheckpoint()
-    if not max_bucket:
+    if max_bucket is None:
         empty = banded.limit(0).withColumn("_bsz", F.lit(0).cast("long"))
         dropped = empty.groupBy("band_idx", "band_bits").agg(
             F.max("_bsz").alias("bucket_size")

@@ -110,20 +110,28 @@ def ensure_worker_pyfiles(spark: SparkSession) -> None:
         return
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     zip_path = os.path.join(root, "dist", "tbdedup_spark.zip")
+    build = None
     if not os.path.exists(zip_path):  # source checkout without dist: build it
         import subprocess
         import sys
 
-        subprocess.run(
-            [sys.executable, os.path.join(root, "make_pyfiles.py")], check=False
+        build = subprocess.run(
+            [sys.executable, os.path.join(root, "make_pyfiles.py")],
+            check=False, capture_output=True, text=True,
         )
     if not os.path.exists(zip_path):
         # fail HERE with a clear message — and leave the flag unset so a
         # later call can retry — rather than silently continuing into an
         # opaque ModuleNotFoundError inside executor UDF deserialization
+        detail = (
+            f" (make_pyfiles.py exit {build.returncode}: "
+            f"{(build.stderr or build.stdout).strip()[-500:]})"
+            if build is not None
+            else ""
+        )
         raise RuntimeError(
             f"cannot ship package to Python workers: {zip_path} missing and "
-            "make_pyfiles.py did not produce it (read-only checkout?)"
+            f"make_pyfiles.py did not produce it{detail}"
         )
     sc.addPyFile(zip_path)
     sc._tbdedup_pyfiles_added = True
