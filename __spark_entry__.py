@@ -28,6 +28,15 @@ K = 5            # shingle width
 N_PERM = 16      # minhash permutations
 N_BANDS = 8      # LSH bands (r = 2 rows/band)
 TAU = 0.8        # jaccard verify threshold
+MIN_EQ = 7       # est-Jaccard prefilter: keep a candidate only if >= 7 of the
+# 16 minhash coords agree (est >= 7/16 = 0.4375, exactly representable, so
+# the Spark float compare and the DuckDB integer count are the same
+# predicate). The coords are already computed (they built the band keys), the
+# filter is DETERMINISTIC, and the DuckDB mirror applies the identical count
+# — so the oracle stays bit-exact while ~95% of bucket-collision junk dies
+# before the fat set-intersection verify (measured 3.25M -> ~50k candidates
+# at sf0.1). A true pair at J = TAU = 0.8 fails the filter with probability
+# P[Binom(16, 0.8) <= 6] ~= 2e-4 — and identically on both engines.
 SIM_W = 32       # text simhash width
 SIM_BANDS = 4    # 8 bits/band
 SIM_D = 3        # max hamming
@@ -98,12 +107,35 @@ def _q_dual_hash_sanity(spark, sf_dir):
 
 
 def _minhash_pairs_df(spark, sf_dir):
+    """Detector 1 subtree, PRODUCTION-SHAPED and oracle-mirrored end to end.
+
+    Round-5 rework of the two costs the round-4 plan audit flagged as "the
+    oracle-exact md5 path":
+
+    * ``carry="hashes"`` — the verify Jaccard runs over each doc's DISTINCT
+      hash60 values (array<long>) instead of the shingle strings. DuckDB
+      computes the SAME md5-derived hashes, so the score is bit-identical BY
+      CONSTRUCTION even in the (astronomically unlikely, ~|union|^2/2^61 per
+      pair) event of a hash collision — both engines would collide the same
+      way. Long arrays intersect ~4x cheaper than UTF8 shingle arrays and
+      halve the verify join's shuffle bytes.
+    * ``est_tau=MIN_EQ/N_PERM`` — the estimated-Jaccard prefilter (fraction
+      of equal minhash coords, an unbiased J estimator that is FREE — the
+      coords already exist for banding) kills bucket-collision junk before
+      the set-intersection verify; the DuckDB mirror applies the identical
+      integer coord-equality count, so dropped pairs drop on both engines.
+
+    Together: the fat array join sees ~50k survivors instead of 3.25M
+    candidates at sf0.1 (and the candidate relation itself never carries
+    arrays). The uncapped band join stays the oracle-scale config;
+    plans/pipeline.py remains the capped/salted 100-TB path."""
     d = _t(spark, sf_dir, "documents")
-    pairs, _ = minhash.minhash_pairs(
-        d, "doc_id", "text", k=K, n_perm=N_PERM, n_bands=N_BANDS,
-        tau=TAU, seed=SEED, max_bucket=None,
-    )
-    return pairs
+    sigs = minhash.minhash_signatures(
+        d, "doc_id", "text", K, N_PERM, SEED, carry="hashes"
+    ).localCheckpoint()  # feeds banding + est join (x2) + hash-set join (x2)
+    banded = minhash.band_keys(sigs, N_PERM, N_BANDS)
+    cand, _ = minhash.candidate_pairs(banded, max_bucket=None)
+    return minhash.verify_jaccard(cand, sigs, TAU, est_tau=MIN_EQ / N_PERM)
 
 
 def _q_minhash(spark, sf_dir):
@@ -829,9 +861,16 @@ def _minhash_pairs_sql() -> str:
         + ") AS band_key FROM m"
         for t in range(N_BANDS)
     )
+    # est prefilter: integer count of equal minhash coords >= MIN_EQ — the
+    # same predicate as Spark's size(filter(zip_with(...)))/16.0 >= 0.4375
+    # (7/16 is an exact dyadic, so the float and integer forms coincide).
+    eq_count = " + ".join(
+        f"CASE WHEN ma.mh{j} = mb.mh{j} THEN 1 ELSE 0 END" for j in range(N_PERM)
+    )
     return f"""
 d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
 s AS (SELECT doc_id, {_sh_sql(K)} AS sh FROM d),
+hset AS (SELECT doc_id, list_distinct(list_transform(sh, g -> {_h60_sql('g')})) AS hs FROM s),
 ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
 hh AS (SELECT doc_id, {_h60_sql('g')} % {P} AS hp FROM ex),
 m AS (SELECT doc_id, {mins} FROM hh GROUP BY doc_id),
@@ -841,15 +880,22 @@ cand AS (
   FROM bands a JOIN bands b USING (band_idx, band_key)
   WHERE a.doc_id < b.doc_id
 ),
-mh_pairs AS (
-  SELECT c.a_id, c.b_id,
-         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-           / len(list_distinct(sa.sh || sb.sh)) AS score
+est AS (
+  SELECT c.a_id, c.b_id
   FROM cand c
-  JOIN s sa ON sa.doc_id = c.a_id
-  JOIN s sb ON sb.doc_id = c.b_id
-  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-          / len(list_distinct(sa.sh || sb.sh)) >= {TAU}
+  JOIN m ma ON ma.doc_id = c.a_id
+  JOIN m mb ON mb.doc_id = c.b_id
+  WHERE ({eq_count}) >= {MIN_EQ}
+),
+mh_pairs AS (
+  SELECT e.a_id, e.b_id,
+         CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+           / len(list_distinct(ha.hs || hb.hs)) AS score
+  FROM est e
+  JOIN hset ha ON ha.doc_id = e.a_id
+  JOIN hset hb ON hb.doc_id = e.b_id
+  WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+          / len(list_distinct(ha.hs || hb.hs)) >= {TAU}
 )"""
 
 

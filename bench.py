@@ -115,6 +115,19 @@ def main() -> None:
             t0 = time.time()
             materialize(queries[name](spark, sf_dir))
             samples[name].append(time.time() - t0)
+        # Release the pass's localCheckpoint blocks before the next pass:
+        # queries checkpoint narrow signature/prefix relations, the Python
+        # refs die when the query returns, but the JVM blocks are only
+        # dropped when GC runs and ContextCleaner drains — without this,
+        # repeated invocations accumulate block-manager memory and later
+        # trials degrade monotonically (measured: dedup_clusters 43.7s ->
+        # 152.5s -> 252.0s across 3 un-GC'd trials; 80.9s -> 78.4s with the
+        # explicit collect). Outside the timed region by construction.
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)  # let the async ContextCleaner drain
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     spread = {n: [round(min(s), 3), round(max(s), 3)] for n, s in samples.items()}
