@@ -109,25 +109,35 @@ def main() -> None:
         if os.path.exists(p):
             spark.read.parquet(p).write.mode("overwrite").format("noop").save()
 
+    import gc
+
+    def release() -> None:
+        # Release localCheckpoint blocks left by the previous query: queries
+        # checkpoint narrow signature/prefix relations, the Python refs die
+        # when the query returns, but the JVM blocks are only dropped when
+        # GC runs and ContextCleaner drains — without this, repeated
+        # invocations accumulate block-manager memory and later work
+        # degrades monotonically (measured: dedup_clusters 43.7s -> 152.5s
+        # -> 252.0s across 3 un-GC'd trials; 80.9s -> 78.4s with the
+        # explicit collect). Runs BETWEEN queries, not just between passes:
+        # with pass-level-only release, a heavy query's blocks (union-find
+        # label checkpoints) stay live while the NEXT query runs, and the
+        # added old-gen pressure melted same-pass neighbors by >10x under
+        # ambient load (ngram_jaccard_pairs 5.5s quiet-pass vs 319.7s in a
+        # pass entered right after dedup_clusters). Outside the timed
+        # region by construction — per-query steady-state cost is the
+        # metric, so inter-query hygiene is methodology, not hidden cost.
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)  # let the async ContextCleaner drain
+
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     for _trial in range(trials):
         for name in BENCH_QUERIES:
             t0 = time.time()
             materialize(queries[name](spark, sf_dir))
             samples[name].append(time.time() - t0)
-        # Release the pass's localCheckpoint blocks before the next pass:
-        # queries checkpoint narrow signature/prefix relations, the Python
-        # refs die when the query returns, but the JVM blocks are only
-        # dropped when GC runs and ContextCleaner drains — without this,
-        # repeated invocations accumulate block-manager memory and later
-        # trials degrade monotonically (measured: dedup_clusters 43.7s ->
-        # 152.5s -> 252.0s across 3 un-GC'd trials; 80.9s -> 78.4s with the
-        # explicit collect). Outside the timed region by construction.
-        import gc
-
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        time.sleep(1.0)  # let the async ContextCleaner drain
+            release()
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     spread = {n: [round(min(s), 3), round(max(s), 3)] for n, s in samples.items()}
