@@ -7,7 +7,9 @@ Runs the flagship dedup/detector/relational queries at
 
   {"metric": "bench_total_sec", "value": N, "unit": "sec",
    "queries": {...per-query MEDIAN sec...}, "trials": 3,
-   "spread": {...per-query [min, max] sec...}, "sf": 0.1, "warmup": true}
+   "spread": {...per-query [min, max] sec...},
+   "steal_pct_max": hypervisor-steal%% high-water over any query window,
+   "sf": 0.1, "warmup": true}
 
 Methodology (for honest cross-round comparison):
 
@@ -131,17 +133,50 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         time.sleep(1.0)  # let the async ContextCleaner drain
 
+    def cpu_counters() -> list[int] | None:
+        # Aggregate jiffies from /proc/stat line 1:
+        # user nice system idle iowait irq softirq steal ...
+        try:
+            with open("/proc/stat") as f:
+                return [int(x) for x in f.readline().split()[1:]]
+        except (OSError, ValueError):
+            return None
+
+    def steal_pct(before: list[int] | None, after: list[int] | None) -> float | None:
+        if before is None or after is None:
+            return None
+        delta = [b - a for a, b in zip(before, after)]
+        tot = sum(delta)
+        return round(100.0 * delta[7] / tot, 2) if tot > 0 and len(delta) > 7 else None
+
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    steals: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     for _trial in range(trials):
         for name in BENCH_QUERIES:
+            c0 = cpu_counters()
             t0 = time.time()
             materialize(queries[name](spark, sf_dir))
             samples[name].append(time.time() - t0)
+            sp = steal_pct(c0, cpu_counters())
+            if sp is not None:
+                steals[name].append(sp)
             release()
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     spread = {n: [round(min(s), 3), round(max(s), 3)] for n, s in samples.items()}
     total = sum(timings.values())
+    # Hypervisor steal%% over each query's window, max across trials: this VM
+    # sits on a shared host, and sustained steal turns straggler-gated
+    # multi-round jobs (union-find label propagation: dozens of sequential
+    # stages, each gated by its slowest task) into 3-4x outliers — measured
+    # 22.8s at ~0.5%% steal vs 79.5s at 7-11%% steal for the SAME query in
+    # the SAME session. Reporting it makes load luck attributable instead of
+    # invisible (see BENCH/PLANS.md round-5 section).
+    steal_max = (
+        round(max(max(v) for v in steals.values() if v), 2)
+        if any(steals.values())
+        else None
+    )
 
     print(
         json.dumps(
@@ -152,6 +187,7 @@ def main() -> None:
                 "queries": timings,
                 "trials": trials,
                 "spread": spread,
+                "steal_pct_max": steal_max,
                 "sf": sf,
                 "warmup": True,
             }
