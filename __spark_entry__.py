@@ -588,6 +588,82 @@ def _q_streaming_first_seen(spark, sf_dir):
     return spark.read.parquet(out).select("image_id", "sig")
 
 
+def _q_streaming_windowed_counts(spark, sf_dir):
+    """Watermarked tumbling-window aggregation under Structured Streaming —
+    the late-data shape of a 100-TB ingest feed (readStream → withWatermark
+    → window → append sink), run finite via trigger(availableNow).
+
+    Emission semantics ARE the oracle: in append mode a (day, event_type)
+    window row is emitted only once the watermark (max event time seen
+    minus the 1h delay) passes the window END, so the trailing partial day
+    is withheld in state — and the DuckDB mirror reproduces exactly that
+    cutoff declaratively (window_end <= max(ts) - 1h). All input files land
+    in ONE data microbatch (maxFilesPerTrigger above any sf's file count):
+    cross-batch file order is not deterministic and a stale file processed
+    after the watermark advanced would DROP rows; one batch means the
+    watermark only FINALIZES windows (the trailing no-data microbatch
+    flushes them), never discards input. Zero Python in the plan — the
+    window/agg runs as JVM stateful operators. Reference analog: the
+    summary-by-folder rollup, /root/reference/tbdedup/report.py
+    (buildSummary), re-expressed as event-time windows instead of a
+    post-hoc dict walk."""
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    base = tempfile.mkdtemp(prefix="tbdedup_streamwin_")
+    _cleanup_at_exit(base)
+    inp = os.path.join(base, "in")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    # FileStreamSource requires a DIRECTORY; the sf tables are single files.
+    # Staging a copy (bytes, no decode) also mirrors how a feed lands.
+    os.makedirs(inp, exist_ok=True)
+    if os.path.isdir(path):
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(path, f), os.path.join(inp, f))
+    else:
+        shutil.copy(path, os.path.join(inp, "part-0.parquet"))
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1_000_000)
+        .parquet(inp)
+        # events.ts is TIMESTAMP_NTZ; watermarks require an instant type.
+        # Session tz is pinned UTC (session.py), so the NTZ→TZ cast is a
+        # pure reinterpretation — wall-clock values are unchanged.
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # value is 2-dp synthetic; a 4-dp round of the double sum is
+            # boundary-free across engines (same rationale as revenue)
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            # back to NTZ for schema parity with the source column
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
 # --- generic relational operators (SURVEY §2 mappings on TPC-H tables) -------
 
 
@@ -1212,6 +1288,15 @@ fb AS (SELECT sig, min(batch) AS batch FROM u GROUP BY sig)
 SELECT min(u.image_id) AS image_id, u.sig AS sig
 FROM u JOIN fb USING (sig, batch) GROUP BY u.sig
 """,
+        "streaming_windowed_counts": """
+SELECT * FROM (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+         event_type,
+         count(*) AS n_events,
+         round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+  FROM events GROUP BY 1, 2
+) WHERE window_start + INTERVAL 1 DAY <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+""",
         "hapax_counts": f"""
 WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
 ex AS (SELECT doc_id, unnest(list_distinct(string_split(norm, ' '))) AS tok FROM d),
@@ -1387,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": _q_ann_ivf,
         "image_dedup_clusters": _q_image_dedup_clusters,
         "streaming_first_seen_dedup": _q_streaming_first_seen,
+        "streaming_windowed_counts": _q_streaming_windowed_counts,
         "audio_near_dups": _q_audio_near_dups,
         "frame_near_dups": _q_frame_near_dups,
         "embedding_neardup_pairs": _q_embedding_neardup,

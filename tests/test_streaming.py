@@ -110,3 +110,41 @@ def test_driver_streaming_entry_first_seen_invariants(spark):
     df = spark.createDataFrame(img_rows, _schema.IMAGES)
     want = exact.signatures(df).select("sig").distinct().count()
     assert len(sigs) == want, (len(sigs), want, n_unique)
+
+
+def test_streaming_windowed_counts_watermark_invariants(spark):
+    """Append-mode watermark semantics: every window whose END precedes
+    (max event time - 1h delay) is emitted exactly once; the trailing
+    partial day stays withheld in state; emitted counts reconcile exactly
+    with a batch aggregation of the same finalized region."""
+    import datetime
+
+    import __spark_entry__ as M
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = M.queries()["streaming_windowed_counts"](spark, sf)
+    got = {(r.window_start, r.event_type): (r.n_events, r.sum_value) for r in out.collect()}
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    cut = max_ts - datetime.timedelta(hours=1)
+    batch = (
+        ev.withColumn("window_start", F.date_trunc("day", "ts").cast("timestamp_ntz"))
+        .groupBy("window_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .collect()
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n, r.s)
+        for r in batch
+        if r.window_start + datetime.timedelta(days=1) <= cut
+    }
+    withheld = {
+        (r.window_start, r.event_type)
+        for r in batch
+        if r.window_start + datetime.timedelta(days=1) > cut
+    }
+    assert got == want
+    assert withheld, "corpus should have a trailing partial day"
+    assert not (withheld & set(got)), "trailing windows must NOT be emitted"
