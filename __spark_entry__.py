@@ -457,19 +457,37 @@ def _q_ann_ivf(spark, sf_dir):
     return out.select("probe_id", "neighbor_id", "score", F.col("rank").alias("rnk"))
 
 
+# Stable landing spot for the image pipeline's oracle intermediates (same
+# mechanism as STREAM_ORACLE_DIR below): the pixel stages (decode, pHash,
+# PSNR) are NOT SQL-expressible, so the query materializes their OUTPUTS —
+# the ok-id universe, the detector edge set, and the per-member verify
+# verdicts — and DuckDB re-derives everything relational downstream of them:
+# connected components (recursive CTE), representative selection, and the
+# verified-split algebra. A wrong union-find, rep rule, or split shows as a
+# hash mismatch; only the detector/decode verdicts themselves are trusted
+# from Spark (they are pytest-gated against a golden single-node oracle).
+IMG_ORACLE_DIR = "/tmp/tbdedup_img_oracle"
+
+
 def _q_image_dedup_clusters(spark, sf_dir):
-    """The north_star pipeline itself under the driver contract (rows-only:
-    pixel decode / PSNR / pHash aren't SQL-expressible): an input_hint-shaped
-    image+caption corpus (image_id, bytes, w, h, fmt, caption, phash) is
-    synthesized DISTRIBUTED in-query (synth_dist.images_distributed — seeded
-    per base index, identical under any partitioning), then the full
-    plans/pipeline.run_pipeline executes: signatures → exact + minhash +
-    simhash + substr detectors (concurrent, skew-laddered) → union-find →
-    PSNR≥40dB + caption-equality verify with quarantine, every stage
-    committed through the resumable Catalog into a fresh temp warehouse.
-    Returns the verified CLUSTERS relation. Cluster-assignment equality vs
-    the golden single-node oracle is gated in tests/test_pipeline.py; this
-    entry pins the end-to-end composition under the driver."""
+    """The north_star pipeline itself under the driver contract: an
+    input_hint-shaped image+caption corpus (image_id, bytes, w, h, fmt,
+    caption, phash) is synthesized DISTRIBUTED in-query
+    (synth_dist.images_distributed — seeded per base index, identical under
+    any partitioning), then the full plans/pipeline.run_pipeline executes:
+    signatures → exact + minhash + simhash + substr detectors (concurrent,
+    skew-laddered) → union-find → PSNR≥40dB + caption-equality verify with
+    quarantine, every stage committed through the resumable Catalog into a
+    fresh temp warehouse. Returns the verified CLUSTERS relation.
+
+    ORACLED since r5 (previously rows-only): the query lands the ok-id
+    universe, the deduped edge set, and the per-member verify verdicts at
+    IMG_ORACLE_DIR, and the DuckDB mirror recomputes the clustering +
+    verified-split from them (see IMG_ORACLE_DIR comment). Detector recall
+    ≥0.99 and cluster-assignment equality vs the golden single-node oracle
+    remain gated in tests/test_pipeline.py."""
+    import os
+    import shutil
     import tempfile
 
     from tbdedup_spark import synth_dist
@@ -482,6 +500,16 @@ def _q_image_dedup_clusters(spark, sf_dir):
     _cleanup_at_exit(wh)  # the returned DataFrame reads the warehouse for
     # the rest of the session; reclaim it at process exit
     out = pipeline.run_pipeline(spark, images, wh)
+    shutil.rmtree(IMG_ORACLE_DIR, ignore_errors=True)  # no stale parts
+    out["signatures"].filter(~F.col("sig").startswith("DECODE_ERROR:")).select(
+        "image_id"
+    ).write.mode("overwrite").parquet(os.path.join(IMG_ORACLE_DIR, "ids"))
+    out["pairs"].select("a_id", "b_id").dropDuplicates().write.mode(
+        "overwrite"
+    ).parquet(os.path.join(IMG_ORACLE_DIR, "pairs"))
+    out["checked"].select("image_id", "ok").write.mode("overwrite").parquet(
+        os.path.join(IMG_ORACLE_DIR, "checked")
+    )
     return out["clusters"]
 
 
@@ -1287,6 +1315,29 @@ WITH u AS (
 fb AS (SELECT sig, min(batch) AS batch FROM u GROUP BY sig)
 SELECT min(u.image_id) AS image_id, u.sig AS sig
 FROM u JOIN fb USING (sig, batch) GROUP BY u.sig
+""",
+        "image_dedup_clusters": f"""
+WITH RECURSIVE
+ids AS (SELECT image_id FROM read_parquet('{IMG_ORACLE_DIR}/ids/*.parquet')),
+e AS (SELECT DISTINCT a_id, b_id FROM read_parquet('{IMG_ORACLE_DIR}/pairs/*.parquet')),
+sym AS (SELECT a_id AS s, b_id AS t FROM e UNION SELECT b_id, a_id FROM e),
+reach(s, t) AS (
+  SELECT s, t FROM sym
+  UNION
+  SELECT r.s, e2.t FROM reach r JOIN sym e2 ON r.t = e2.s
+),
+lbl AS (
+  SELECT image_id, image_id AS m FROM ids
+  UNION ALL
+  SELECT s AS image_id, t AS m FROM reach
+),
+cc AS (SELECT image_id, MIN(m) AS cluster_id FROM lbl GROUP BY image_id),
+okm AS (SELECT image_id FROM read_parquet('{IMG_ORACLE_DIR}/checked/*.parquet') WHERE ok)
+SELECT image_id, cluster_id, TRUE AS is_representative
+FROM cc WHERE image_id = cluster_id
+UNION ALL
+SELECT cc.image_id, cc.cluster_id, FALSE AS is_representative
+FROM cc JOIN okm USING (image_id)
 """,
         "streaming_windowed_counts": """
 SELECT * FROM (

@@ -81,7 +81,8 @@ def run_pipeline(
     warehouse: str,
     config: DedupConfig = DedupConfig(),
 ) -> dict[str, DataFrame]:
-    """Returns {signatures, pairs, clusters, quarantine, lineage, metrics}."""
+    """Returns {signatures, pairs, checked, clusters, quarantine, lineage,
+    metrics}."""
     cfg = asdict(config)
     cat = Catalog(spark, warehouse, config_run_id(cfg))
 
@@ -236,6 +237,7 @@ def run_pipeline(
     return {
         "signatures": sigs,
         "pairs": pairs,
+        "checked": checked,
         "clusters": verified,
         "quarantine": cat.read("quarantine") if cat.exists("quarantine") else None,
         "lineage": cat.lineage(),
