@@ -445,14 +445,22 @@ def _q_ann_lsh(spark, sf_dir):
 def _q_ann_ivf(spark, sf_dir):
     """IVF coarse-quantizer ANN (operators/ann.ivf_topk): spherical-k-means
     codebook on a bounded sample, Voronoi-cell equi-join, exact cosine inside
-    probed cells. Approximate by construction (k-means isn't SQL-expressible),
-    so no oracle_sql entry — the driver's rows-only check applies; recall vs
-    brute force is gated in tests/test_round3.py instead."""
+    probed cells.
+
+    ORACLED since r5 (previously rows-only): k-means itself is not
+    SQL-expressible, so the operator lands its Voronoi assignments (plain
+    (id, cell) ints) at MEDIA_ORACLE_DIR/ivf, and DuckDB re-derives the
+    probed-cell candidate join, the exact cosine over the embeddings table,
+    and the (score DESC, neighbor_id) ranking from them. Recall vs brute
+    force stays gated in tests/test_round3.py."""
+    import os
+
     e = _t(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 10)
     out = ann.ivf_topk(
         e, probes, "vec_id", "embedding", k=ANN_K,
         n_centroids=16, n_probe=4, seed=SEED,
+        assignments_out_path=os.path.join(MEDIA_ORACLE_DIR, "ivf"),
     )
     return out.select("probe_id", "neighbor_id", "score", F.col("rank").alias("rnk"))
 
@@ -467,6 +475,15 @@ def _q_ann_ivf(spark, sf_dir):
 # hash mismatch; only the detector/decode verdicts themselves are trusted
 # from Spark (they are pytest-gated against a golden single-node oracle).
 IMG_ORACLE_DIR = "/tmp/tbdedup_img_oracle"
+
+# Same mechanism for the remaining non-SQL stages: the audio/frame queries
+# land their 64-bit fingerprints (the FFT/pHash outputs) and the IVF query
+# its Voronoi cell assignments (the k-means output); DuckDB re-derives the
+# relational downstream — banded-Hamming candidate join with the bucket cap,
+# or cell join + exact cosine + rank — from those files. Only the signal
+# processing itself is trusted from Spark (pytest-gated planted-pair
+# recall / recall-vs-bruteforce).
+MEDIA_ORACLE_DIR = "/tmp/tbdedup_media_oracle"
 
 
 def _q_image_dedup_clusters(spark, sf_dir):
@@ -514,37 +531,55 @@ def _q_image_dedup_clusters(spark, sf_dir):
 
 
 def _q_audio_near_dups(spark, sf_dir):
-    """Audio near-dup detection under the driver contract (rows-only: WAV
-    decode + FFT fingerprints aren't SQL-expressible — the ann_topk_ivf
-    precedent). The driver testdata ships no media tables, so the corpus is
-    synthesized IN-QUERY by synth.audio_corpus: a distributed map-only stage
-    rendering seeded PCM16 WAV melodies with 16 planted volume-scaled+noised
-    near-dups. Planted-pair recall is gated in tests/test_multimodal.py;
-    here the detector (spectral fingerprint → pigeonhole-banded Hamming,
-    operators/multimodal.audio_near_dups) must return a stable row set."""
+    """Audio near-dup detection under the driver contract. The driver
+    testdata ships no media tables, so the corpus is synthesized IN-QUERY by
+    synth.audio_corpus: a distributed map-only stage rendering seeded PCM16
+    WAV melodies with 16 planted volume-scaled+noised near-dups.
+
+    ORACLED since r5 (previously rows-only): the WAV decode + FFT
+    fingerprint is not SQL-expressible, so the operator lands the
+    fingerprint relation (media_id, asig int64) at MEDIA_ORACLE_DIR and
+    feeds its own banded join from the re-read — DuckDB then re-derives the
+    ENTIRE candidate machinery from the same bytes: 8-band pigeonhole
+    split, the 1024 bucket cap, the Hamming-distance filter, and the score.
+    Planted-pair recall stays gated in tests/test_multimodal.py."""
+    import os
+
     from tbdedup_spark import synth
     from tbdedup_spark.operators import multimodal
     from tbdedup_spark.session import ensure_worker_pyfiles
 
     ensure_worker_pyfiles(spark)  # pandas-UDF closures import the package
     media = synth.audio_corpus(spark, n_orig=32, n_dup=16, rate=8000, seed=SEED)
-    return multimodal.audio_near_dups(media, max_hamming=6, n_bands=8)
+    return multimodal.audio_near_dups(
+        media, max_hamming=6, n_bands=8,
+        sigs_out_path=os.path.join(MEDIA_ORACLE_DIR, "audio"),
+    )
 
 
 def _q_frame_near_dups(spark, sf_dir):
-    """Frame-level video near-dup detection under the driver contract
-    (rows-only; same precedent + synthesis rationale as audio_near_dups).
+    """Frame-level video near-dup detection under the driver contract.
     synth.video_corpus plants 12 videos that re-use two content frames of
     their base at different positions; frame_near_dups (sample → pHash →
     banded Hamming, cross-media only) must recover exactly those
-    shared-frame pairs — asserted in tests/test_multimodal.py."""
+    shared-frame pairs — asserted in tests/test_multimodal.py.
+
+    ORACLED since r5 (same mechanism as audio_near_dups): the landed
+    (frame_key, phash) relation lets DuckDB re-derive the banded join, the
+    bucket cap, the Hamming filter, AND the cross-media predicate
+    (split_part on the media_id:frame_idx key)."""
+    import os
+
     from tbdedup_spark import synth
     from tbdedup_spark.operators import multimodal
     from tbdedup_spark.session import ensure_worker_pyfiles
 
     ensure_worker_pyfiles(spark)  # pandas-UDF closures import the package
     media = synth.video_corpus(spark, n_orig=24, n_dup=12, seed=SEED)
-    return multimodal.frame_near_dups(media, every_k=1, max_hamming=3, n_bands=8)
+    return multimodal.frame_near_dups(
+        media, every_k=1, max_hamming=3, n_bands=8,
+        sigs_out_path=os.path.join(MEDIA_ORACLE_DIR, "frames"),
+    )
 
 
 # Stable landing spot for the streaming query's per-batch signature tables:
@@ -1047,6 +1082,45 @@ FROM cand WHERE bit_count(xor(sha, shb)) <= {SIM_D}
 """
 
 
+def _hamming_files_sql(
+    path: str,
+    id_col: str,
+    sig_col: str,
+    detector: str,
+    max_hamming: int,
+    n_bands: int = 8,
+    width: int = 64,
+    max_bucket: int = 1024,
+    extra_where: str = "",
+) -> str:
+    """DuckDB mirror of operators/simhash.simhash_pairs over a MATERIALIZED
+    signature relation (the sigs_out_path mechanism): band split, bucket cap
+    (kept-bucket semantics identical to the capped join), banded self-join,
+    exact Hamming filter, 1 - d/width score."""
+    bits = width // n_bands
+    mask = (1 << bits) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, s, {t} AS band_idx, (s >> {t * bits}) & {mask} AS band_bits FROM sigs"
+        for t in range(n_bands)
+    )
+    return f"""
+WITH sigs AS (SELECT {id_col} AS id, {sig_col} AS s
+              FROM read_parquet('{path}/*.parquet')),
+bands AS ({band_rows}),
+bsz AS (SELECT band_idx, band_bits, count(*) AS c FROM bands GROUP BY 1, 2),
+kept AS (SELECT b.* FROM bands b JOIN bsz USING (band_idx, band_bits)
+         WHERE c <= {max_bucket}),
+cand AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.s AS sa, b.s AS sb
+  FROM kept a JOIN kept b USING (band_idx, band_bits)
+  WHERE a.id < b.id
+)
+SELECT a_id, b_id, '{detector}' AS detector,
+       round(1.0 - CAST(bit_count(xor(sa, sb)) AS DOUBLE) / {width}, 6) AS score
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming} {extra_where}
+"""
+
+
 def _ann_common_sql() -> str:
     return """
 e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -1315,6 +1389,37 @@ WITH u AS (
 fb AS (SELECT sig, min(batch) AS batch FROM u GROUP BY sig)
 SELECT min(u.image_id) AS image_id, u.sig AS sig
 FROM u JOIN fb USING (sig, batch) GROUP BY u.sig
+""",
+        "audio_near_dups": _hamming_files_sql(
+            f"{MEDIA_ORACLE_DIR}/audio", "media_id", "asig", "audio_fp",
+            max_hamming=6,
+        ),
+        "frame_near_dups": _hamming_files_sql(
+            f"{MEDIA_ORACLE_DIR}/frames", "frame_key", "phash", "frame_phash",
+            max_hamming=3,
+            extra_where="AND split_part(a_id, ':', 1) != split_part(b_id, ':', 1)",
+        ),
+        "ann_topk_ivf": f"""
+WITH {_ann_common_sql()},
+cc AS (SELECT neighbor_id, cell
+       FROM read_parquet('{MEDIA_ORACLE_DIR}/ivf/corpus/*.parquet')),
+pc AS (SELECT probe_id, cell
+       FROM read_parquet('{MEDIA_ORACLE_DIR}/ivf/probes/*.parquet')),
+cand AS (
+  SELECT DISTINCT probe_id, neighbor_id
+  FROM pc JOIN cc USING (cell) WHERE probe_id != neighbor_id
+),
+s AS (
+  SELECT cand.probe_id, cand.neighbor_id,
+         list_dot_product(p.v, c.v) / (p.nv * c.nv) AS score
+  FROM cand JOIN nrm p ON p.vec_id = cand.probe_id
+            JOIN nrm c ON c.vec_id = cand.neighbor_id
+),
+r AS (SELECT probe_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rnk
+      FROM s)
+SELECT probe_id, neighbor_id, round(score, 6) AS score, CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= {ANN_K}
 """,
         "image_dedup_clusters": f"""
 WITH RECURSIVE

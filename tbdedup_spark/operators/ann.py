@@ -230,6 +230,7 @@ def ivf_topk(
     sample_n: int = 20_000,
     kmeans_iters: int = 8,
     seed: int = 42,
+    assignments_out_path: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
     path next to ``topk_lsh``: vectors are partitioned into ``n_centroids``
@@ -290,6 +291,21 @@ def ivf_topk(
         F.col(vec_col).alias("_pv"),
         F.explode(cells_udf(F.col(vec_col))).alias("_cell"),
     )
+    if assignments_out_path is not None:
+        # Land the Voronoi assignments (plain int cells, no vectors) so an
+        # external oracle can re-derive the cell join + exact cosine + rank
+        # from files. The matmul UDF re-runs once for each write — it is
+        # deterministic (fixed codebook from a deterministic sample; argsort
+        # ties break on lower index), so these files equal the join's own
+        # assignments; the main plan is untouched.
+        import os as _os
+
+        c.select("neighbor_id", F.col("_cell").alias("cell")).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(assignments_out_path, "corpus"))
+        p.select("probe_id", F.col("_cell").alias("cell")).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(assignments_out_path, "probes"))
     cand = (
         c.join(p, "_cell")
         .filter(F.col("probe_id") != F.col("neighbor_id"))

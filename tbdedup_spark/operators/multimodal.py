@@ -247,6 +247,7 @@ def frame_near_dups(
     n_bands: int = 8,
     max_bucket: int | None = 1024,
     cross_media_only: bool = True,
+    sigs_out_path: str | None = None,
 ) -> DataFrame:
     """Frame-level video near-dup detection — the cross-modal composition:
     sample frames (flatMap) → pHash (map-only pandas UDF) → Hamming-banded
@@ -263,9 +264,20 @@ def frame_near_dups(
     """
     from . import simhash as _sh
 
-    sigs = frame_signatures(sample_frames(media, every_k)).filter("decode_ok")
+    sigs = frame_signatures(sample_frames(media, every_k)).filter("decode_ok").select(
+        "frame_key", "phash"
+    )
+    # the banded subtree is consumed 2-3x with no exchange reuse; one narrow
+    # materialization keeps the video decode + pHash stage single-run.
+    # sigs_out_path swaps the localCheckpoint for a parquet landing (same
+    # oracle rationale as audio_near_dups).
+    checkpoint = True
+    if sigs_out_path is not None:
+        sigs.write.mode("overwrite").parquet(sigs_out_path)
+        sigs = media.sparkSession.read.parquet(sigs_out_path)
+        checkpoint = False
     pairs, _dropped = _sh.simhash_pairs(
-        sigs.select("frame_key", "phash"),
+        sigs,
         id_col="frame_key",
         sig_col="phash",
         max_hamming=max_hamming,
@@ -273,9 +285,7 @@ def frame_near_dups(
         width=64,
         max_bucket=max_bucket,
         detector_name="frame_phash",
-        # the banded subtree is consumed 2-3x with no exchange reuse; one
-        # narrow checkpoint keeps the video decode + pHash stage single-run
-        checkpoint=True,
+        checkpoint=checkpoint,
     )
     if cross_media_only:
         from pyspark.sql import functions as _F
@@ -345,16 +355,28 @@ def audio_near_dups(
     max_hamming: int = 6,
     n_bands: int = 8,
     max_bucket: int | None = 1024,
+    sigs_out_path: str | None = None,
 ) -> DataFrame:
     """Audio near-dup pairs: spectral fingerprint (map-only) + the same
     pigeonhole-banded Hamming machinery as pHash/simhash — completing the
     image/video/audio detector triple. Only (media_id, int64) rows shuffle;
-    samples never leave the signature stage."""
+    samples never leave the signature stage.
+
+    ``sigs_out_path``: materialize the fingerprint relation there (parquet)
+    and feed the banded join from the RE-READ — the join input and the
+    externally visible relation are the same bytes (an oracle can re-derive
+    the banded-Hamming join from the files), and the parquet plays the
+    upstream-checkpoint role the localCheckpoint otherwise fills."""
     from . import simhash as _sh
 
-    sigs = audio_signatures(media).filter("decode_ok")
+    sigs = audio_signatures(media).filter("decode_ok").select("media_id", "asig")
+    checkpoint = True  # decode+FFT must stay single-run across the subtree
+    if sigs_out_path is not None:
+        sigs.write.mode("overwrite").parquet(sigs_out_path)
+        sigs = media.sparkSession.read.parquet(sigs_out_path)
+        checkpoint = False  # the parquet IS the materialization
     pairs, _dropped = _sh.simhash_pairs(
-        sigs.select("media_id", "asig"),
+        sigs,
         id_col="media_id",
         sig_col="asig",
         max_hamming=max_hamming,
@@ -362,8 +384,6 @@ def audio_near_dups(
         width=64,
         max_bucket=max_bucket,
         detector_name="audio_fp",
-        # keep the WAV decode + FFT fingerprint stage single-run (no
-        # exchange reuse across the banded subtree's consumers)
-        checkpoint=True,
+        checkpoint=checkpoint,
     )
     return pairs
