@@ -68,6 +68,13 @@ def test_query_matches_oracle(spark, ddb, name):
         raise AssertionError(f"{name}: value mismatch, first diffs {diff}")
 
 
+def test_every_query_has_an_oracle():
+    """Since round 5 every contract query is oracle-mirrored (the non-SQL
+    stages land their outputs as parquet for DuckDB). Lock that in: a new
+    queries() entry without an oracle_sql() mirror is a regression."""
+    assert set(entry_mod.oracle_sql()) == set(entry_mod.queries())
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
