@@ -21,7 +21,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tbdedup_spark.functions import text, vectors
-from tbdedup_spark.operators import ann, asof, minhash, setsim, simhash, substr, unionfind
+from tbdedup_spark.operators import (
+    ann, asof, incremental, minhash, setsim, simhash, substr, unionfind,
+)
 
 # --- shared detector config (same constants on both engines) -----------------
 K = 5            # shingle width
@@ -54,6 +56,12 @@ NEARDUP_BANDS = 4   # pigeonhole: complete for hamming <= bands - 1
 # production shape widens the signature with corpus size AND caps buckets:
 NEARDUP2_BITS = 32   # 8-bit band keys: 256 values/band
 NEARDUP2_CAP = 256   # bucket cap — dropped, reported, oracle-MIRRORED
+INC_NEW_MOD = 5      # tiered incremental dedup: doc_id % 5 == 0 is the "new
+# batch", the rest is "history" — a deterministic 20/80 split both engines
+# can state declaratively
+SEMDEDUP_K = 16      # SemDeDup codebook size at contract scale (the paper's
+# regime grows K with the corpus; 16 cells over 500 docs ~ its cluster size)
+SEMDEDUP_TAU = 0.9   # within-cell cosine prune threshold (= NEARDUP_TAU)
 SEED = 42
 P = text.MERSENNE_P
 COEF = text.perm_coeffs(N_PERM, SEED)
@@ -402,6 +410,94 @@ def _q_hapax_counts(spark, sf_dir):
         d.select("doc_id")
         .join(per_doc, "doc_id", "left")
         .select("doc_id", F.coalesce("n_hapax", F.lit(0)).alias("n_hapax"))
+    )
+
+
+def _q_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    public): per-doc duplicate word-2-gram / 3-gram fractions and the
+    most-frequent-token mass — the filters every LLM data pipeline applies
+    before training (boilerplate and degenerate repetition detection).
+
+    ZERO-shuffle plan: all three signals are higher-order-function
+    expressions in whole-stage codegen over the scan — the token lists
+    never explode into rows and nothing aggregates across docs (contrast
+    hapax_counts, which needs the corpus-wide groupBy by definition). At
+    10^12 docs this is a pure map."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(text.norm_text("text"), " ").alias("toks")
+    )
+
+    def grams(n):
+        # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty —
+        # short docs must short-circuit to [] (DuckDB generate_series(1, 0)
+        # IS empty, so the guard also keeps the engines aligned)
+        return F.when(
+            F.size("toks") >= n,
+            F.expr(
+                f"transform(sequence(1, size(toks) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(toks, i, {n})))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def dup_frac(g):
+        return F.round(
+            F.when(
+                F.size(g) > 0,
+                (F.size(g) - F.size(F.array_distinct(g))) / F.size(g).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    top = F.array_max(
+        F.transform(
+            F.array_distinct("toks"),
+            lambda u: F.size(F.filter(F.col("toks"), lambda t: t == u)),
+        )
+    )
+    return d.select(
+        "doc_id",
+        dup_frac(grams(2)).alias("dup_2gram_frac"),
+        dup_frac(grams(3)).alias("dup_3gram_frac"),
+        F.round(top / F.size("toks").cast("double"), 6).alias("top_token_frac"),
+    )
+
+
+def _q_tiered_incremental_dedup(spark, sf_dir):
+    """The day-2 shape of a 100-TB dedup deployment: a NEW batch (doc_id %
+    INC_NEW_MOD == 0, 20% of the table) checked against HISTORY (the other
+    80%) in escalating tiers — exact signature, then MinHash/LSH near-dup —
+    with history never shuffled or self-joined (operators/incremental.py:
+    every join broadcasts a batch-bounded relation). Same detector constants
+    as minhash_lsh_pairs, so the oracle derives the cross-tier pairs from
+    the SAME mh_pairs CTE restricted to (new, history) pairs. Within-batch
+    dups are out of scope by contract (exact_dedup covers them)."""
+    d = _t(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % INC_NEW_MOD == 0
+    return incremental.tiered_dedup(
+        d.filter(is_new), d.filter(~is_new), "doc_id", "text",
+        k=K, n_perm=N_PERM, n_bands=N_BANDS, tau=TAU, seed=SEED,
+        est_tau=MIN_EQ / N_PERM,
+        # each side's explode+groupBy signature feeds banding AND the verify
+        # joins — materialize once (same contract as minhash_lsh_pairs)
+        checkpoint=True,
+    )
+
+
+def _q_semdedup_prune(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the hashed-BoW document embeddings
+    (the same deterministic embedding as embedding_neardup_*, where true
+    semantic near-dups exist): k-means cells + within-cell cosine >= tau
+    prune, keep-smallest-id. ORACLED like ann_topk_ivf: the k-means is the
+    one non-SQL stage, so the operator lands its (doc_id, cell) assignments
+    at MEDIA_ORACLE_DIR/semdedup and DuckDB re-derives the within-cell
+    pairs, the exact cosine, and the keep rule from the files + the
+    documents table."""
+    emb = _doc_embeddings(spark, sf_dir)
+    return ann.semdedup(
+        emb, "doc_id", "emb", n_centroids=SEMDEDUP_K, tau=SEMDEDUP_TAU,
+        seed=SEED,
+        assignments_out_path=os.path.join(MEDIA_ORACLE_DIR, "semdedup"),
     )
 
 
@@ -1238,6 +1334,32 @@ SELECT a_id, b_id, score FROM p WHERE ham <= {NEARDUP_HAM} AND score >= {NEARDUP
 """
 
 
+def _semdedup_sql() -> str:
+    """Mirror of ann.semdedup over the hashed-BoW doc embeddings: the
+    landed (doc_id, cell) assignments are the trusted k-means output; the
+    embedding, the within-cell pairs, the exact cosine, and the
+    keep-smallest-id rule are all re-derived relationally."""
+    sums, assemble = text.hashed_bow_sql("h", EMB_DIM)
+    return f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS t FROM d),
+h0 AS (SELECT doc_id, {_h60_sql('t')} AS h FROM tok),
+sums AS (SELECT doc_id, {', '.join(sums)} FROM h0 GROUP BY doc_id),
+emb AS (SELECT doc_id, {assemble} AS v FROM sums),
+nrm AS (SELECT doc_id, v, sqrt(list_dot_product(v, v)) AS nv FROM emb),
+asg AS (SELECT doc_id, cell
+        FROM read_parquet('{MEDIA_ORACLE_DIR}/semdedup/*.parquet')),
+m AS (SELECT a.doc_id, a.cell, n.v, n.nv FROM asg a JOIN nrm n USING (doc_id)),
+drp AS (
+  SELECT DISTINCT y.doc_id
+  FROM m x JOIN m y ON x.cell = y.cell AND x.doc_id < y.doc_id
+  WHERE list_dot_product(x.v, y.v) / (x.nv * y.nv) >= {SEMDEDUP_TAU}
+)
+SELECT m.doc_id, CAST(m.cell AS INT) AS cell, (p.doc_id IS NULL) AS kept
+FROM m LEFT JOIN drp p ON m.doc_id = p.doc_id
+"""
+
+
 def _lang_id_sql() -> str:
     markers = {
         "en": ["the", "and", "of", "to", "is"],
@@ -1453,6 +1575,52 @@ SELECT * FROM (
   FROM events GROUP BY 1, 2
 ) WHERE window_start + INTERVAL 1 DAY <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
 """,
+        "repetition_scores": f"""
+WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, toks,
+  CASE WHEN len(toks) >= 2
+       THEN list_transform(generate_series(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i + 1])
+       ELSE [] END AS g2,
+  CASE WHEN len(toks) >= 3
+       THEN list_transform(generate_series(1, len(toks) - 2),
+                           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+       ELSE [] END AS g3
+  FROM d)
+SELECT doc_id,
+  round(CASE WHEN len(g2) = 0 THEN 0.0
+             ELSE (len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE) END, 6)
+    AS dup_2gram_frac,
+  round(CASE WHEN len(g3) = 0 THEN 0.0
+             ELSE (len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE) END, 6)
+    AS dup_3gram_frac,
+  round(list_max(list_transform(list_distinct(toks),
+                                u -> len(list_filter(toks, t -> t = u))))
+        / CAST(len(toks) AS DOUBLE), 6) AS top_token_frac
+FROM g
+""",
+        "tiered_incremental_dedup": f"""
+WITH {mh},
+t1new AS (SELECT doc_id, sha256({_NORM}) AS sig FROM documents
+       WHERE doc_id % {INC_NEW_MOD} = 0),
+t1hist AS (SELECT sha256({_NORM}) AS sig FROM documents
+       WHERE doc_id % {INC_NEW_MOD} != 0),
+t1ex AS (SELECT DISTINCT n.doc_id FROM t1new n JOIN t1hist h USING (sig)),
+t2cross AS (
+  SELECT DISTINCT CASE WHEN a_id % {INC_NEW_MOD} = 0 THEN a_id ELSE b_id END AS doc_id
+  FROM mh_pairs
+  WHERE (a_id % {INC_NEW_MOD} = 0) != (b_id % {INC_NEW_MOD} = 0)
+),
+t2near AS (SELECT doc_id FROM t2cross
+           WHERE doc_id NOT IN (SELECT doc_id FROM t1ex))
+SELECT n.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+            WHEN r.doc_id IS NOT NULL THEN 'near'
+            ELSE 'unique' END AS tier
+FROM t1new n LEFT JOIN t1ex e ON n.doc_id = e.doc_id
+             LEFT JOIN t2near r ON n.doc_id = r.doc_id
+""",
+        "semdedup_prune": _semdedup_sql(),
         "hapax_counts": f"""
 WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
 ex AS (SELECT doc_id, unnest(list_distinct(string_split(norm, ' '))) AS tok FROM d),
@@ -1637,6 +1805,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_overlap": _q_decontaminate,
         "decontaminate_ngram_join": _q_decontaminate_ngram_join,
         "hapax_counts": _q_hapax_counts,
+        "repetition_scores": _q_repetition_scores,
+        "tiered_incremental_dedup": _q_tiered_incremental_dedup,
+        "semdedup_prune": _q_semdedup_prune,
         "scan_filter_project": _q_scan_filter,
         "group_agg": _q_group_agg,
         "topk_per_group": _q_topk_per_group,

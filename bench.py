@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "hapax_counts",
     "decontaminate_overlap",
     "decontaminate_ngram_join",
+    "repetition_scores",
+    "tiered_incremental_dedup",
+    "semdedup_prune",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",

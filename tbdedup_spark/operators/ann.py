@@ -318,3 +318,84 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    tau: float = 0.9,
+    sample_n: int = 20_000,
+    kmeans_iters: int = 8,
+    seed: int = 42,
+    assignments_out_path: str | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540, public method):
+    semantic deduplication by k-means-partitioning the embedding space and
+    pruning within-cluster cosine near-duplicates. Returns one row per input
+    — ``(id_col, cell, kept)`` — so the caller keeps the survivors AND sees
+    the partition.
+
+    Keep rule (one-shot, deterministic, the paper's "keep one per dup set"
+    made order-stable): a row is PRUNED iff some smaller-id member of its
+    cell has cosine >= tau with it. Not transitive — exactly the pairs the
+    within-cell join sees, which is what makes the rule mirrorable in SQL.
+
+    Scale shape: the codebook trains on a bounded TakeOrdered sample and the
+    assignment is one Arrow-batched BLAS matmul per batch (both exactly as
+    ``ivf_topk``); the only join is the within-cell self-join, and the
+    paper's regime GROWS n_centroids with the corpus so expected cell size
+    stays constant — the join never goes quadratic in n. Cells are the
+    semantic partition, so no cap/drop valve applies here (dropping a cell
+    would silently skip its duplicates); a corpus with degenerate embedding
+    mass should dedup those rows with ``neardup_pairs``'s capped bands
+    first. The assigned relation is localCheckpointed once — it feeds the
+    assignment write, both self-join sides, and the output join, and the
+    matmul must not re-run four times.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    sample_rows = (
+        df.select(F.col(vec_col).alias("_v"), F.col(id_col).alias("_sid"))
+        .orderBy(F.xxhash64(F.col("_sid")))
+        .limit(sample_n)
+        .collect()
+    )
+    cents = _kmeans_centroids([r._v for r in sample_rows], n_centroids, kmeans_iters, seed)
+    ct = cents.T.copy()  # dim x K, closed over (broadcast with the UDF)
+
+    # no type hints: see ivf_topk's _cells_fn
+    def _cell_fn(vs):
+        m = np.stack(vs.to_numpy())  # B x dim
+        return pd.Series(np.argmax(m @ ct, axis=1).astype(np.int32))  # ties: lower index
+
+    cell_udf = pandas_udf(_cell_fn, T.IntegerType())
+    asg = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        # coalesce: provably non-null join key, same reason as ivf_topk
+        F.coalesce(cell_udf(F.col(vec_col)), F.lit(-1)).alias("cell"),
+    ).localCheckpoint()
+    if assignments_out_path is not None:
+        # land (id, cell) so an external oracle can re-derive the
+        # within-cell pairs + exact cosine + keep rule from files (the
+        # k-means itself is the one non-SQL stage)
+        asg.select(F.col("_id").alias(id_col), "cell").write.mode(
+            "overwrite"
+        ).parquet(assignments_out_path)
+    a = asg.select(F.col("_id").alias("a_id"), "cell", F.col("_v").alias("_va"))
+    b = asg.select(F.col("_id").alias("b_id"), "cell", F.col("_v").alias("_vb"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(vectors.cosine("_va", "_vb") >= tau)
+        .select(F.col("b_id").alias("_id"))
+        .distinct()
+    )
+    return asg.join(
+        F.broadcast(dropped.withColumn("_d", F.lit(True))), "_id", "left"
+    ).select(F.col("_id").alias(id_col), "cell", F.col("_d").isNull().alias("kept"))

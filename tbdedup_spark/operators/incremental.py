@@ -1,0 +1,161 @@
+"""Tiered incremental deduplication: dedupe a NEW batch against an existing
+HISTORY corpus, cheapest tier first, without ever self-joining history.
+
+This is the shape a 100-TB training-data pipeline actually runs day to day:
+the corpus is already deduped; what arrives is a (much smaller) crawl batch
+that must be checked against the whole corpus in escalating tiers —
+
+* tier 1 ``exact``  — canonical-signature equality (sha256 of normalized
+  text), the reference's first-record-wins rule generalized from
+  within-one-run to batch-vs-corpus (the analog of the dedup writer
+  skipping already-written hashes, tbdedup/dedup/__init__.py:137-161);
+* tier 2 ``near``   — MinHash/LSH band-bucket collision with any history
+  doc, verified by exact Jaccard >= tau (operators/minhash machinery);
+* else   ``unique`` — the doc enters the corpus.
+
+Scale contract: HISTORY IS NEVER SELF-JOINED AND NEVER SHUFFLED BY A JOIN.
+Every join in both tiers broadcasts a relation bounded by the NEW batch
+(its distinct signatures, its band rows, its matched keys), so history's
+join cost is map-side scans — the plan a 1000-executor cluster wants when
+history is 100 TB and the batch is gigabytes. The one history-sized
+aggregation is the MinHash signature groupBy, and it must NOT be paid per
+batch: pass ``hist_mh_sigs`` (the corpus detector's precomputed signature
+table — plans/pipeline.py's stage-B relation) and the operator reads it
+instead of recomputing; recomputation from ``hist_df`` is the convenience
+path for one-shot use.
+
+Within-batch duplicates are intentionally out of scope — tier verdicts are
+vs HISTORY only; run ``operators/exact`` on the batch for that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text
+from . import minhash
+
+
+def exact_matches(
+    new_sigs: DataFrame, hist_sigs: DataFrame, id_col: str = "_id", sig_col: str = "_sig"
+) -> DataFrame:
+    """Ids of new rows whose signature exists anywhere in history.
+
+    Two broadcast semi-joins, both broadcasting a new-batch-bounded side:
+    the batch's distinct signatures probe history map-side (history never
+    shuffles), and the matched-signature set (<= |batch|) comes back to
+    flag the batch rows. A naive ``new.join(hist, sig, "left_semi")`` would
+    instead shuffle all of history on sig.
+    """
+    probe = new_sigs.select(sig_col).distinct()
+    hit = (
+        hist_sigs.join(F.broadcast(probe), sig_col, "left_semi")
+        .select(sig_col)
+        .distinct()
+    )
+    return new_sigs.join(F.broadcast(hit), sig_col, "left_semi").select(id_col)
+
+
+def candidate_pairs_cross(
+    banded_new: DataFrame, banded_hist: DataFrame
+) -> DataFrame:
+    """(a_id=new, b_id=hist) pairs sharing >= 1 LSH band bucket.
+
+    The cross analog of ``minhash.candidate_pairs``: the NEW side's band
+    rows broadcast into an equi-join that streams over the history band
+    scan — no history shuffle, no self-join, no a<b dedup (the sides are
+    disjoint by contract). Bucket skew cannot blow up a task the way the
+    self-join's quadratic buckets can: a history bucket of size S yields at
+    most S * |new-in-bucket| pairs, linear in S.
+    """
+    probe = banded_new.select(
+        F.col("_id").alias("a_id"), "band_idx", "band_key"
+    )
+    return (
+        banded_hist.join(F.broadcast(probe), ["band_idx", "band_key"])
+        .select("a_id", F.col("_id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
+def tiered_dedup(
+    new_df: DataFrame,
+    hist_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_perm: int = 16,
+    n_bands: int = 8,
+    tau: float = 0.8,
+    seed: int = 42,
+    est_tau: float | None = None,
+    carry: str = "hashes",
+    checkpoint: bool = False,
+    hist_mh_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """(id_col, tier) for every NEW row: 'exact' | 'near' | 'unique'.
+
+    Tier semantics are hierarchical: 'near' is only assigned to docs NOT
+    already exact-matched, so the tiers partition the batch. The MinHash
+    parameters must match the corpus detector's (same k/n_perm/n_bands/
+    tau/seed) for verdicts to be consistent with the batch eventually
+    joining that corpus.
+
+    ``hist_mh_sigs``: history's PRECOMPUTED minhash signature relation
+    (minhash.minhash_signatures schema: _id, mh0.., _shingles) — at scale
+    this is the corpus's stage-B table and passing it removes the only
+    history-sized shuffle in the operator (see module docstring). Must have
+    been built with the same k/n_perm/seed/carry.
+
+    ``checkpoint`` materializes the signature relations (each feeds banding
+    + the verify joins); leave False when the inputs are cheap scans, set
+    it when ``text_col`` is derived from an expensive upstream (same
+    contract as minhash.minhash_pairs).
+    """
+    sig = F.sha2(F.encode(text.norm_text(text_col), "utf-8"), 256)
+    new_sigs = new_df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    hist_sigs = hist_df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    exact_ids = exact_matches(new_sigs, hist_sigs)
+
+    mh_new = minhash.minhash_signatures(
+        new_df, id_col, text_col, k, n_perm, seed, carry=carry
+    )
+    mh_hist = (
+        hist_mh_sigs
+        if hist_mh_sigs is not None
+        else minhash.minhash_signatures(
+            hist_df, id_col, text_col, k, n_perm, seed, carry=carry
+        )
+    )
+    if checkpoint:
+        mh_new = mh_new.localCheckpoint()
+        if hist_mh_sigs is None:  # a supplied table is already materialized
+            mh_hist = mh_hist.localCheckpoint()
+    cand = candidate_pairs_cross(
+        minhash.band_keys(mh_new, n_perm, n_bands),
+        minhash.band_keys(mh_hist, n_perm, n_bands),
+    )
+    # the verify joins see a candidate relation bounded by the batch's
+    # bucket collisions — AQE broadcasts it against the signature relations
+    near = minhash.verify_jaccard(
+        cand, mh_new.unionByName(mh_hist), tau, est_tau=est_tau
+    )
+    near_ids = (
+        near.select(F.col("a_id").alias("_id"))
+        .distinct()
+        .join(exact_ids, "_id", "left_anti")
+    )
+
+    return (
+        new_df.select(F.col(id_col).alias("_id"))
+        .join(F.broadcast(exact_ids.withColumn("_t1", F.lit(True))), "_id", "left")
+        .join(F.broadcast(near_ids.withColumn("_t2", F.lit(True))), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.when(F.col("_t1"), F.lit("exact"))
+            .when(F.col("_t2"), F.lit("near"))
+            .otherwise(F.lit("unique"))
+            .alias("tier"),
+        )
+    )

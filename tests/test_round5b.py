@@ -1,0 +1,159 @@
+"""Round-5 second-wave operators: tiered incremental dedup (batch vs
+history), SemDeDup within-cell pruning, and the Gopher-style repetition
+signals — planted-corpus tests that prove each tier / rule fires, beyond the
+sf0.01 oracle equality of test_entry_oracle.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tbdedup_spark.operators import ann, incremental, minhash
+
+
+# --- tiered incremental dedup -------------------------------------------------
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while the spark engine "
+    "shuffles partitions across the cluster and the catalyst optimizer "
+    "prunes columns from the parquet scan"
+)
+
+
+def _tiered_corpus(spark):
+    """History 0..3; new batch 100..103 planting one of each tier."""
+    hist = [
+        (0, _BASE),
+        (1, _BASE.replace("dog", "cat")),
+        (2, "completely different history content about databases and indexes"),
+        (3, "yet another unrelated history document mentioning joins"),
+    ]
+    new = [
+        (100, _BASE),  # exact copy of 0 -> 'exact'
+        (101, _BASE + " extra"),  # near-variant of 0 -> 'near'
+        (102, "a brand new document that matches nothing in the corpus at all"),
+        (103, _BASE),  # second exact copy: within-batch dup of 100, but the
+        # verdict is vs HISTORY only -> also 'exact' (not 'unique')
+    ]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    return mk(new), mk(hist)
+
+
+def test_tiered_dedup_all_three_tiers(spark):
+    new_df, hist_df = _tiered_corpus(spark)
+    out = incremental.tiered_dedup(new_df, hist_df, tau=0.6)
+    got = {r.doc_id: r.tier for r in out.collect()}
+    assert got == {100: "exact", 101: "near", 102: "unique", 103: "exact"}
+
+
+def test_tiered_near_matches_allpairs_filter(spark):
+    """The restricted (batch x history) band join must find exactly the
+    cross pairs of the full self-join detector — the determinism argument
+    the oracle relies on."""
+    new_df, hist_df = _tiered_corpus(spark)
+    tau = 0.6
+    full, _ = minhash.minhash_pairs(
+        new_df.unionByName(hist_df), "doc_id", "text", tau=tau, max_bucket=None,
+        checkpoint=False,
+    )
+    new_ids = {100, 101, 102, 103}
+    cross_near = {
+        (r.a_id if r.a_id in new_ids else r.b_id)
+        for r in full.collect()
+        if (r.a_id in new_ids) != (r.b_id in new_ids)
+    }
+    out = incremental.tiered_dedup(new_df, hist_df, tau=tau)
+    near_or_exact = {
+        r.doc_id for r in out.collect() if r.tier in ("near", "exact")
+    }
+    # every cross near-pair member is flagged (as 'near' unless exact won)
+    assert cross_near <= near_or_exact
+    got_near = {r.doc_id for r in out.collect() if r.tier == "near"}
+    exact = {r.doc_id for r in out.collect() if r.tier == "exact"}
+    assert got_near == cross_near - exact
+
+
+def test_tiered_dedup_precomputed_history_sigs(spark):
+    """Passing history's stage-B signature table (the 100-TB path that
+    removes the per-batch history shuffle) gives identical verdicts."""
+    new_df, hist_df = _tiered_corpus(spark)
+    hist_sigs = minhash.minhash_signatures(
+        hist_df, "doc_id", "text", carry="hashes"
+    )
+    a = incremental.tiered_dedup(new_df, hist_df, tau=0.6)
+    b = incremental.tiered_dedup(
+        new_df, hist_df, tau=0.6, hist_mh_sigs=hist_sigs, checkpoint=True
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# --- SemDeDup -----------------------------------------------------------------
+
+
+def test_semdedup_keep_smallest_id(spark, tmp_path):
+    """Two well-separated directions; ids 1/2 are exact duplicates (cos 1)
+    and 3 is a distinct member of the same cell; 10/11 duplicate each other
+    in the other cell. Keep-smallest-id must prune exactly {2, 11}."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0, 0.0]),  # same direction as 1 -> cos 1.0
+        (3, [0.9, 0.9, 0.0, 0.0]),  # same cell, cos ~0.707 < tau
+        (10, [0.0, 0.0, 1.0, 0.0]),
+        (11, [0.0, 0.0, 3.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    out_path = str(tmp_path / "asg")
+    out = ann.semdedup(
+        df, "vec_id", "emb", n_centroids=2, tau=0.95, seed=7,
+        assignments_out_path=out_path,
+    )
+    got = {r.vec_id: (r.cell, r.kept) for r in out.collect()}
+    assert {i for i, (_, kept) in got.items() if not kept} == {2, 11}
+    # duplicates landed in the same cell; the two dup groups in different ones
+    assert got[1][0] == got[2][0] and got[10][0] == got[11][0]
+    assert got[1][0] != got[10][0]
+    # landed assignments equal the output's cells
+    landed = {
+        r.vec_id: r.cell for r in spark.read.parquet(out_path).collect()
+    }
+    assert landed == {i: c for i, (c, _) in got.items()}
+
+
+def test_semdedup_prune_is_one_shot_not_transitive(spark):
+    """a~b and b~c but not a~c: one-shot rule prunes b AND c (both have a
+    smaller near-dup), it does not 're-keep' c because its witness b was
+    itself pruned — the documented (and SQL-mirrorable) semantics."""
+    import math
+
+    t = 24.0  # degrees apart; cos(24deg) ~ 0.913 < tau, cos(12deg) ~ 0.978
+    vec = lambda deg: [math.cos(math.radians(deg)), math.sin(math.radians(deg)), 0.0]
+    rows = [(1, vec(0.0)), (2, vec(t / 2)), (3, vec(t))]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    out = ann.semdedup(df, "vec_id", "emb", n_centroids=1, tau=0.95, seed=7)
+    got = {r.vec_id: r.kept for r in out.collect()}
+    assert got == {1: True, 2: False, 3: False}
+
+
+# --- repetition signals ---------------------------------------------------------
+
+
+def test_repetition_scores_hand_computed(spark, tmp_path, monkeypatch):
+    import __spark_entry__ as entry_mod
+
+    rows = [
+        (0, "a a a b"),  # g2 = [a a, a a, a b]: dup 1/3; g3 dup 0; top 3/4
+        (1, "x"),  # too short for any gram; top_token_frac 1.0
+        (2, "p q p q p q"),  # g2 = 5 grams, 2 distinct -> dup 3/5;
+        # g3 = 4 grams, 2 distinct -> dup 2/4; top 3/6
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        d + "/documents.parquet"
+    )
+    out = entry_mod._q_repetition_scores(spark, d)
+    got = {
+        r.doc_id: (r.dup_2gram_frac, r.dup_3gram_frac, r.top_token_frac)
+        for r in out.collect()
+    }
+    assert got[0] == (round(1 / 3, 6), 0.0, 0.75)
+    assert got[1] == (0.0, 0.0, 1.0)
+    assert got[2] == (0.6, 0.5, 0.5)
