@@ -62,6 +62,11 @@ INC_NEW_MOD = 5      # tiered incremental dedup: doc_id % 5 == 0 is the "new
 SEMDEDUP_K = 16      # SemDeDup codebook size at contract scale (the paper's
 # regime grows K with the corpus; 16 cells over 500 docs ~ its cluster size)
 SEMDEDUP_TAU = 0.9   # within-cell cosine prune threshold (= NEARDUP_TAU)
+PARA_W = 20          # pseudo-paragraph width (tokens) for paragraph-level dedup
+SAMPLE_BP = {        # stratified-sampling keep rates in basis points (1/10000)
+    "en": 5000, "zh": 3000, "es": 2500, "de": 2000, "fr": 1000,
+}
+SAMPLE_BP_DEFAULT = 500
 SEED = 42
 P = text.MERSENNE_P
 COEF = text.perm_coeffs(N_PERM, SEED)
@@ -410,6 +415,71 @@ def _q_hapax_counts(spark, sf_dir):
         d.select("doc_id")
         .join(per_doc, "doc_id", "left")
         .select("doc_id", F.coalesce("n_hapax", F.lit(0)).alias("n_hapax"))
+    )
+
+
+def _q_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup, the CCNet/Dolma primitive (Wenzek et al.
+    2020; Soldaini et al. 2024, both public): duplicated PARAGRAPHS are
+    removed corpus-wide keeping the FIRST occurrence (smallest (doc_id,
+    para_idx)), and each document reports how much of it survived. The
+    corpus has no newlines, so "paragraphs" are deterministic PARA_W-token
+    chunks — both engines chunk identically, so the oracle is exact.
+
+    Scale shape: explode to (doc, idx, para-hash60) — the para TEXT never
+    shuffles, only its 8-byte hash — then ONE map-side-combinable groupBy
+    taking min(struct(doc_id, idx)) per hash (the keep-first rule as an
+    aggregate, not a window: no hot-key single-task risk when one
+    boilerplate paragraph appears 10^9 times), a per-doc count of the
+    winners, and a broadcast-able join back to per-doc totals."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(text.norm_text("text"), " ").alias("toks")
+    )
+    paras = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(toks) / {PARA_W}.0) as int) - 1),"
+                f" j -> concat_ws(' ', slice(toks, j * {PARA_W} + 1, {PARA_W})))"
+            )
+        ).alias("para_idx", "para"),
+    ).select("doc_id", "para_idx", text.hash60("para").alias("ph"))
+    winners = paras.groupBy("ph").agg(
+        F.min(F.struct(F.col("doc_id").alias("d"), F.col("para_idx").alias("i"))).alias("w")
+    )
+    kept = winners.groupBy(F.col("w.d").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    totals = d.select(
+        "doc_id",
+        F.ceil(F.size("toks") / F.lit(float(PARA_W))).cast("long").alias("n_paras"),
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.round(
+            F.lit(1.0) - F.coalesce("n_kept", F.lit(0)) / F.col("n_paras").cast("double"), 6
+        ).alias("dup_para_frac"),
+    )
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language stratified sampling — the data-mixing
+    primitive of a training pipeline (upsample/downsample sources to a
+    target distribution). Keep rule: hash60('sample:' || doc_id) % 10000 <
+    rate_bp[lang] — a pure ZERO-shuffle codegen map over the scan (the
+    sampling decision is a hash predicate, not an RNG: reproducible across
+    engines, runs, and partitionings, unlike df.sample). The rate map is a
+    literal CASE on both engines."""
+    rate = F.lit(SAMPLE_BP_DEFAULT)
+    for lang, bp in sorted(SAMPLE_BP.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(bp)).otherwise(rate)
+    h = text.hash60(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter((h % 10000) < rate)
+        .select("doc_id", "lang")
     )
 
 
@@ -1575,6 +1645,28 @@ SELECT * FROM (
   FROM events GROUP BY 1, 2
 ) WHERE window_start + INTERVAL 1 DAY <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
 """,
+        "paragraph_dedup": f"""
+WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+p AS (
+  SELECT doc_id, j,
+         array_to_string(toks[j * {PARA_W} + 1 : j * {PARA_W} + {PARA_W}], ' ') AS para
+  FROM d, unnest(generate_series(0, CAST(ceil(len(toks) / {PARA_W}.0) AS INT) - 1)) AS u(j)
+),
+h AS (SELECT doc_id, j, {_h60_sql('para')} AS ph FROM p),
+w AS (SELECT ph, min({{'d': doc_id, 'i': j}}) AS w FROM h GROUP BY ph),
+k AS (SELECT (w).d AS doc_id, CAST(count(*) AS BIGINT) AS n_kept FROM w GROUP BY 1),
+t AS (SELECT doc_id, CAST(ceil(len(toks) / {PARA_W}.0) AS BIGINT) AS n_paras FROM d)
+SELECT t.doc_id, t.n_paras,
+       coalesce(k.n_kept, 0) AS n_kept,
+       round(1.0 - coalesce(k.n_kept, 0) / CAST(t.n_paras AS DOUBLE), 6) AS dup_para_frac
+FROM t LEFT JOIN k USING (doc_id)
+""",
+        "stratified_sample": f"""
+SELECT doc_id, lang FROM documents
+WHERE {_h60_sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 10000 <
+      (CASE {' '.join(f"WHEN lang = '{lg}' THEN {bp}" for lg, bp in sorted(SAMPLE_BP.items()))}
+       ELSE {SAMPLE_BP_DEFAULT} END)
+""",
         "repetition_scores": f"""
 WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
 g AS (SELECT doc_id, toks,
@@ -1805,6 +1897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_overlap": _q_decontaminate,
         "decontaminate_ngram_join": _q_decontaminate_ngram_join,
         "hapax_counts": _q_hapax_counts,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "stratified_sample": _q_stratified_sample,
         "repetition_scores": _q_repetition_scores,
         "tiered_incremental_dedup": _q_tiered_incremental_dedup,
         "semdedup_prune": _q_semdedup_prune,

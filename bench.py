@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "repetition_scores",
     "tiered_incremental_dedup",
     "semdedup_prune",
+    "paragraph_dedup",
+    "stratified_sample",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",

@@ -136,7 +136,7 @@ def test_semdedup_prune_is_one_shot_not_transitive(spark):
 # --- repetition signals ---------------------------------------------------------
 
 
-def test_repetition_scores_hand_computed(spark, tmp_path, monkeypatch):
+def test_repetition_scores_hand_computed(spark, tmp_path):
     import __spark_entry__ as entry_mod
 
     rows = [
