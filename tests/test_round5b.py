@@ -157,3 +157,43 @@ def test_repetition_scores_hand_computed(spark, tmp_path):
     assert got[0] == (round(1 / 3, 6), 0.0, 0.75)
     assert got[1] == (0.0, 0.0, 1.0)
     assert got[2] == (0.6, 0.5, 0.5)
+
+
+# --- paragraph dedup + stratified sampling ------------------------------------
+
+
+def test_paragraph_dedup_keep_first(spark, tmp_path):
+    """Doc 20 shares its first 20-token chunk with doc 10 (the earlier doc
+    wins); unshared chunks survive. Short docs form a single chunk."""
+    import __spark_entry__ as entry_mod
+
+    chunk_a = " ".join(f"w{i}" for i in range(20))
+    chunk_b = " ".join(f"x{i}" for i in range(20))
+    chunk_c = " ".join(f"y{i}" for i in range(20))
+    rows = [
+        (10, f"{chunk_a} {chunk_b}"),
+        (20, f"{chunk_a} {chunk_c}"),
+        (30, "tiny"),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        d + "/documents.parquet"
+    )
+    out = entry_mod._q_paragraph_dedup(spark, d)
+    got = {r.doc_id: (r.n_paras, r.n_kept, r.dup_para_frac) for r in out.collect()}
+    assert got[10] == (2, 2, 0.0)
+    assert got[20] == (2, 1, 0.5)
+    assert got[30] == (1, 1, 0.0)
+
+
+def test_stratified_sample_deterministic(spark):
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, entry_mod._q_stratified_sample(spark, sf).collect()))
+    b = sorted(map(tuple, entry_mod._q_stratified_sample(spark, sf).collect()))
+    assert a == b and len(a) > 0
+    # keep decision depends only on (doc_id, lang): kept set is a subset of
+    # the input and every kept row's lang has a configured-or-default rate
+    total = spark.read.parquet(sf + "/documents.parquet").count()
+    assert len(a) < total
