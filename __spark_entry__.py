@@ -519,11 +519,30 @@ def _q_repetition_scores(spark, sf_dir):
             6,
         )
 
-    top = F.array_max(
-        F.transform(
-            F.array_distinct("toks"),
-            lambda u: F.size(F.filter(F.col("toks"), lambda t: t == u)),
-        )
+    # max token multiplicity via sort + run-length aggregate: O(n log n) per
+    # doc. The obvious transform(distinct, u -> count(filter(toks, = u))) is
+    # O(distinct * n) per doc — quadratic in DOCUMENT LENGTH, a real hazard
+    # for 100k-token documents even though it is linear in corpus size
+    # (measured 5.0s -> see PLANS.md). Initial prev='' is safe: norm_text
+    # trims/collapses whitespace, so '' only occurs as the single token of
+    # an empty doc, where run=0+1=1 is the right answer anyway.
+    _long = lambda c: c.cast("long")
+    top = F.aggregate(
+        F.array_sort("toks"),
+        F.struct(
+            F.lit("").alias("prev"),
+            _long(F.lit(0)).alias("run"),
+            _long(F.lit(0)).alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc.prev, acc.run + 1).otherwise(_long(F.lit(1))).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(t == acc.prev, acc.run + 1).otherwise(_long(F.lit(1))),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
     )
     return d.select(
         "doc_id",
