@@ -59,8 +59,11 @@ NEARDUP2_CAP = 256   # bucket cap — dropped, reported, oracle-MIRRORED
 INC_NEW_MOD = 5      # tiered incremental dedup: doc_id % 5 == 0 is the "new
 # batch", the rest is "history" — a deterministic 20/80 split both engines
 # can state declaratively
-SEMDEDUP_K = 16      # SemDeDup codebook size at contract scale (the paper's
-# regime grows K with the corpus; 16 cells over 500 docs ~ its cluster size)
+SEMDEDUP_K = 16      # SemDeDup codebook FLOOR (contract scale: 16 cells over
+# 500 docs ~ the paper's cluster size). Above the floor K grows with the
+# corpus — K = ceil(n / SEMDEDUP_CELL) — holding expected cell size constant
+# so the within-cell join is O(n * cell), not O(n^2 / 16) (r5 curve fix).
+SEMDEDUP_CELL = 512  # target rows per k-means cell for the auto-K regime
 SEMDEDUP_TAU = 0.9   # within-cell cosine prune threshold (= NEARDUP_TAU)
 PARA_W = 20          # pseudo-paragraph width (tokens) for paragraph-level dedup
 SAMPLE_BP = {        # stratified-sampling keep rates in basis points (1/10000)
@@ -581,12 +584,18 @@ def _q_semdedup_prune(spark, sf_dir):
     one non-SQL stage, so the operator lands its (doc_id, cell) assignments
     at MEDIA_ORACLE_DIR/semdedup and DuckDB re-derives the within-cell
     pairs, the exact cosine, and the keep rule from the files + the
-    documents table."""
+    documents table (any K yields a valid oracle row — the files ARE the
+    clustering). K is auto-scaled (ceil(n / SEMDEDUP_CELL), floor 16) so the
+    within-cell join stays O(n * cell): the r5 sf curve measured fixed K=16
+    at 17.6x time for 10x data. n comes from a count over the documents
+    parquet (metadata-cheap), not the BoW relation."""
     emb = _doc_embeddings(spark, sf_dir)
+    n = _t(spark, sf_dir, "documents").count()
     return ann.semdedup(
-        emb, "doc_id", "emb", n_centroids=SEMDEDUP_K, tau=SEMDEDUP_TAU,
+        emb, "doc_id", "emb", tau=SEMDEDUP_TAU,
         seed=SEED,
         assignments_out_path=os.path.join(MEDIA_ORACLE_DIR, "semdedup"),
+        target_cell_rows=SEMDEDUP_CELL, min_centroids=SEMDEDUP_K, n_rows=n,
     )
 
 

@@ -93,6 +93,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    # Optional comma-separated subset for targeted re-measurement after a
+    # single-query fix (full-list runs remain the reference numbers).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {q.strip() for q in only.split(",")}
+        global BENCH_QUERIES
+        BENCH_QUERIES = [q for q in BENCH_QUERIES if q in keep]
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 

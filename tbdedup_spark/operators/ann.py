@@ -209,13 +209,13 @@ def _kmeans_centroids(
     c = x[idx].copy()
     for _ in range(iters):
         assign = np.argmax(x @ c.T, axis=1)
-        for j in range(k):
-            m = x[assign == j]
-            if len(m):
-                v = m.sum(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    c[j] = v / n
+        # scatter-add update: O(sample) per iter instead of O(K * sample)
+        # per-centroid masks — K now grows with the corpus (semdedup auto-K)
+        sums = np.zeros_like(c)
+        np.add.at(sums, assign, x)
+        norms_c = np.linalg.norm(sums, axis=1)
+        nz = norms_c > 0  # empty cluster (or zero-sum) keeps its centroid
+        c[nz] = sums[nz] / norms_c[nz][:, None]
     return c
 
 
@@ -324,12 +324,15 @@ def semdedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     tau: float = 0.9,
     sample_n: int = 20_000,
     kmeans_iters: int = 8,
     seed: int = 42,
     assignments_out_path: str | None = None,
+    target_cell_rows: int = 512,
+    min_centroids: int = 16,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540, public method):
     semantic deduplication by k-means-partitioning the embedding space and
@@ -346,7 +349,18 @@ def semdedup(
     assignment is one Arrow-batched BLAS matmul per batch (both exactly as
     ``ivf_topk``); the only join is the within-cell self-join, and the
     paper's regime GROWS n_centroids with the corpus so expected cell size
-    stays constant — the join never goes quadratic in n. Cells are the
+    stays constant — the join never goes quadratic in n. That growth is now
+    enforced, not just documented: with ``n_centroids=None`` (the default) K
+    = clamp(ceil(n / target_cell_rows), min_centroids, sample_n // 8) — the
+    r5 sf-curve caught the fixed-K=16 shape at 17.6x time for 10x data (the
+    within-cell join is O(n^2 / K)), the same class of fault the curve
+    caught in the 16-bit embedding bands in r4. ``n_rows`` lets the caller
+    supply a cheap count (e.g. parquet metadata of the base table) so the
+    auto-K path does not re-run an expensive upstream just to count it; the
+    upper clamp keeps >=8 sample points per centroid, and a corpus big
+    enough to hit it (sample_n//8 = 2500 cells by default) wants a larger
+    codebook sample or a two-level codebook, which is the published regime
+    at 10^9+ rows (SemDeDup used ~110k clusters for LAION). Cells are the
     semantic partition, so no cap/drop valve applies here (dropping a cell
     would silently skip its duplicates); a corpus with degenerate embedding
     mass should dedup those rows with ``neardup_pairs``'s capped bands
@@ -359,6 +373,13 @@ def semdedup(
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
+    if n_centroids is None:
+        if n_rows is None:
+            n_rows = df.count()
+        n_centroids = min(
+            max(min_centroids, -(-n_rows // target_cell_rows)),
+            max(min_centroids, sample_n // 8),
+        )
     sample_rows = (
         df.select(F.col(vec_col).alias("_v"), F.col(id_col).alias("_sid"))
         .orderBy(F.xxhash64(F.col("_sid")))

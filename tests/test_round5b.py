@@ -133,6 +133,34 @@ def test_semdedup_prune_is_one_shot_not_transitive(spark):
     assert got == {1: True, 2: False, 3: False}
 
 
+def test_semdedup_auto_k_grows_with_corpus(spark):
+    """n_centroids=None scales K = ceil(n / target_cell_rows) above the
+    floor: 1200 rows over 12 orthogonal directions at target 50 must land
+    in many cells (K=24 requested), while a supplied small n_rows stays at
+    the min_centroids floor and can only produce that many cells."""
+    rows = [
+        (i, [1.0 if d == i % 12 else 0.0 for d in range(12)]) for i in range(1200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    auto = ann.semdedup(
+        df, "vec_id", "emb", tau=0.99, seed=7,
+        target_cell_rows=50, min_centroids=2, n_rows=1200,
+    )
+    floor = ann.semdedup(
+        df, "vec_id", "emb", tau=0.99, seed=7,
+        target_cell_rows=50, min_centroids=2, n_rows=40,
+    )
+    n_auto = auto.select("cell").distinct().count()
+    n_floor = floor.select("cell").distinct().count()
+    assert n_auto >= 8, n_auto
+    assert n_floor <= 2, n_floor
+    # the keep rule is K-invariant here: every direction's rows share one
+    # cell under ANY clustering (argmax is a function of the vector), so the
+    # 100 same-direction copies collapse to their smallest id both times
+    assert auto.filter("kept").count() == 12
+    assert floor.filter("kept").count() == 12
+
+
 # --- repetition signals ---------------------------------------------------------
 
 
