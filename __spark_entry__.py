@@ -59,6 +59,9 @@ NEARDUP2_CAP = 256   # bucket cap — dropped, reported, oracle-MIRRORED
 INC_NEW_MOD = 5      # tiered incremental dedup: doc_id % 5 == 0 is the "new
 # batch", the rest is "history" — a deterministic 20/80 split both engines
 # can state declaratively
+IMG_TIER_HAM = 7     # image tiered dedup: pHash Hamming radius for the
+# 'near' tier — the pipeline's phash_max_hamming (plans/pipeline.py:47), so
+# batch verdicts are consistent with the corpus detector's
 SEMDEDUP_K = 16      # SemDeDup codebook FLOOR (contract scale: 16 cells over
 # 500 docs ~ the paper's cluster size). Above the floor K grows with the
 # corpus — K = ceil(n / SEMDEDUP_CELL) — holding expected cell size constant
@@ -722,6 +725,51 @@ def _q_image_dedup_clusters(spark, sf_dir):
         os.path.join(IMG_ORACLE_DIR, "checked")
     )
     return out["clusters"]
+
+
+def _q_image_tiered_dedup(spark, sf_dir):
+    """Tiered incremental dedup over the input_hint IMAGE payload — the
+    round-5 tier theme applied to the graft's image axis. An input_hint
+    corpus is synthesized distributed (same generator as
+    image_dedup_clusters), split deterministically by the image_id's
+    derivative counter: counter 00 (the base image of each group) is the
+    already-deduped HISTORY corpus; counters >= 01 (the planted exact /
+    reencode / perturb / paraphrase / contain / distinct derivatives) are
+    the NEW crawl batch. incremental.tiered_image_dedup assigns each new
+    image 'exact' (raw-bytes sha256 match — paraphrase/contain share the
+    base's bytes, so they land here too) | 'near' (pHash Hamming <=
+    IMG_TIER_HAM, the perturb/reencode classes) | 'unique' (the distinct
+    class), history never shuffled (reference analog: the dedup writer's
+    skip-already-written-hashes rule, tbdedup/dedup/__init__.py:137-161,
+    as batch-vs-corpus).
+
+    ORACLE: the corpus (image_id, bytes, phash) lands at
+    MEDIA_ORACLE_DIR/imgtier and both engines read the SAME files; DuckDB
+    states the tiers declaratively — bytes equality for 'exact' (sha256
+    equality iff bytes equality), brute-force bit_count(xor) <= R for
+    'near', which the uncapped pigeonhole banding + residual filter equals
+    exactly. Only the phash values themselves are Spark-supplied (pixel
+    decode is the one non-SQL stage, same contract as audio/frame sigs)."""
+    import os
+    import shutil
+
+    from tbdedup_spark import synth_dist
+    from tbdedup_spark.operators import incremental
+    from tbdedup_spark.session import ensure_worker_pyfiles
+
+    ensure_worker_pyfiles(spark)  # mapInPandas closures import the package
+    corpus = synth_dist.images_distributed(spark, n_bases=200, seed=SEED, partitions=8)
+    land = os.path.join(MEDIA_ORACLE_DIR, "imgtier")
+    shutil.rmtree(land, ignore_errors=True)  # no stale parts
+    corpus.select("image_id", "bytes", "phash").write.mode("overwrite").parquet(land)
+    landed = spark.read.parquet(land)
+    ctr = F.substring("image_id", 14, 2).cast("int")
+    return incremental.tiered_image_dedup(
+        landed.filter(ctr >= 1),
+        landed.filter(ctr == 0),
+        max_hamming=IMG_TIER_HAM,
+        n_bands=8,
+    )
 
 
 def _q_audio_near_dups(spark, sf_dir):
@@ -1740,6 +1788,29 @@ SELECT n.doc_id,
 FROM t1new n LEFT JOIN t1ex e ON n.doc_id = e.doc_id
              LEFT JOIN t2near r ON n.doc_id = r.doc_id
 """,
+        # both engines read the SAME landed (image_id, bytes, phash) files;
+        # 'exact' is stated as bytes equality (identical set to the Spark
+        # side's sha256-equality), 'near' as the brute-force Hamming
+        # predicate (identical set to uncapped pigeonhole banding + the
+        # exact bit_count residual filter, since max_hamming < n_bands)
+        "image_tiered_dedup": f"""
+WITH c AS (SELECT image_id, bytes, phash,
+                  CAST(substr(image_id, 14, 2) AS INT) AS ctr
+           FROM read_parquet('{MEDIA_ORACLE_DIR}/imgtier/*.parquet')),
+newb AS (SELECT * FROM c WHERE ctr >= 1),
+hist AS (SELECT * FROM c WHERE ctr = 0),
+ex AS (SELECT DISTINCT n.image_id FROM newb n JOIN hist h ON n.bytes = h.bytes),
+nr AS (SELECT DISTINCT n.image_id
+       FROM newb n JOIN hist h ON bit_count(xor(n.phash, h.phash)) <= {IMG_TIER_HAM}
+       WHERE n.image_id NOT IN (SELECT image_id FROM ex))
+SELECT n.image_id,
+       CASE WHEN e.image_id IS NOT NULL THEN 'exact'
+            WHEN r.image_id IS NOT NULL THEN 'near'
+            ELSE 'unique' END AS tier
+FROM newb n
+LEFT JOIN ex e ON n.image_id = e.image_id
+LEFT JOIN nr r ON n.image_id = r.image_id
+""",
         "semdedup_prune": _semdedup_sql(),
         "hapax_counts": f"""
 WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
@@ -1915,6 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
         "image_dedup_clusters": _q_image_dedup_clusters,
+        "image_tiered_dedup": _q_image_tiered_dedup,
         "streaming_first_seen_dedup": _q_streaming_first_seen,
         "streaming_windowed_counts": _q_streaming_windowed_counts,
         "audio_near_dups": _q_audio_near_dups,

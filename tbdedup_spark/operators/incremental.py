@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text
-from . import minhash
+from . import minhash, simhash
 
 
 def exact_matches(
@@ -149,6 +149,98 @@ def tiered_dedup(
 
     return (
         new_df.select(F.col(id_col).alias("_id"))
+        .join(F.broadcast(exact_ids.withColumn("_t1", F.lit(True))), "_id", "left")
+        .join(F.broadcast(near_ids.withColumn("_t2", F.lit(True))), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.when(F.col("_t1"), F.lit("exact"))
+            .when(F.col("_t2"), F.lit("near"))
+            .otherwise(F.lit("unique"))
+            .alias("tier"),
+        )
+    )
+
+
+def hamming_matches_cross(
+    new_sigs: DataFrame,
+    hist_sigs: DataFrame,
+    id_col: str = "_id",
+    sig_col: str = "_sig",
+    max_hamming: int = 7,
+    n_bands: int = 8,
+    width: int = 64,
+) -> DataFrame:
+    """Ids of NEW rows whose ``width``-bit signature is within ``max_hamming``
+    of ANY history signature.
+
+    The cross analog of ``simhash.simhash_pairs``: pigeonhole banding
+    (``max_hamming < n_bands`` guarantees a shared band) with the NEW side's
+    banded relation broadcast into an equi-join that streams over the
+    history band scan — history never shuffles, never self-joins, exactly
+    the ``candidate_pairs_cross`` contract. The residual ``bit_count(a^b)``
+    filter enforces the exact bound, so with no bucket cap the result set
+    equals the brute-force Hamming predicate (which is what the DuckDB
+    oracle computes). A history band bucket of size S costs at most
+    S * |new-in-bucket| pairs — linear in S, so the self-join's quadratic
+    hot-bucket failure mode cannot occur; cap the NEW side upstream if a
+    degenerate batch (all-flat phashes) ever needs a valve.
+    """
+    assert max_hamming < n_bands, "pigeonhole completeness needs d < B"
+    probe = simhash.hamming_bands(new_sigs, id_col, sig_col, n_bands, width).select(
+        F.col("_id").alias("a_id"), F.col("_sig").alias("_siga"), "band_idx", "band_bits"
+    )
+    hist_b = simhash.hamming_bands(hist_sigs, id_col, sig_col, n_bands, width)
+    return (
+        hist_b.join(F.broadcast(probe), ["band_idx", "band_bits"])
+        .filter(
+            F.bit_count(F.col("_siga").bitwiseXOR(F.col("_sig"))) <= max_hamming
+        )
+        .select(F.col("a_id").alias("_id"))
+        .distinct()
+    )
+
+
+def tiered_image_dedup(
+    new_imgs: DataFrame,
+    hist_imgs: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    phash_col: str = "phash",
+    max_hamming: int = 7,
+    n_bands: int = 8,
+) -> DataFrame:
+    """(id_col, tier) for every NEW image: 'exact' | 'near' | 'unique' —
+    ``tiered_dedup``'s batch-vs-corpus shape applied to the input_hint image
+    payload (image_id, bytes, ..., phash).
+
+    * tier 1 ``exact`` — raw-bytes sha256 equality with any history image
+      (the reference's disk-hash folder grouping, tbdedup/dedup/
+      __init__.py:137-161, as batch-vs-corpus instead of within-run); the
+      binary column is hashed in the scan projection, so BYTES NEVER
+      SHUFFLE — only the 64-hex signature does.
+    * tier 2 ``near``  — pHash Hamming <= max_hamming with any history
+      image (``hamming_matches_cross``), assigned only to rows not already
+      exact-matched, so the tiers partition the batch.
+    * else  ``unique`` — the image enters the corpus.
+
+    Same scale contract as ``tiered_dedup``: every join broadcasts a
+    relation bounded by the NEW batch; history is only ever map-side
+    scanned. Within-batch duplicates are out of scope by the same contract.
+    """
+    sig = F.sha2(F.col(bytes_col), 256)
+    new_sigs = new_imgs.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    hist_sigs = hist_imgs.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    exact_ids = exact_matches(new_sigs, hist_sigs)
+
+    near_ids = hamming_matches_cross(
+        new_imgs.select(F.col(id_col).alias("_id"), F.col(phash_col).alias("_sig")),
+        hist_imgs.select(F.col(id_col).alias("_id"), F.col(phash_col).alias("_sig")),
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+    ).join(exact_ids, "_id", "left_anti")
+
+    return (
+        new_imgs.select(F.col(id_col).alias("_id"))
         .join(F.broadcast(exact_ids.withColumn("_t1", F.lit(True))), "_id", "left")
         .join(F.broadcast(near_ids.withColumn("_t2", F.lit(True))), "_id", "left")
         .select(

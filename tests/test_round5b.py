@@ -225,3 +225,53 @@ def test_stratified_sample_deterministic(spark):
     # the input and every kept row's lang has a configured-or-default rate
     total = spark.read.parquet(sf + "/documents.parquet").count()
     assert len(a) < total
+
+
+# --- tiered IMAGE dedup ---------------------------------------------------------
+
+
+def test_tiered_image_dedup_matches_bruteforce(spark):
+    """tiered_image_dedup's verdicts equal the brute-force ground truth
+    (bytes equality for 'exact', pHash Hamming <= R for 'near') on a planted
+    synth corpus split base->history / derivatives->new-batch — the exact
+    split the driver query uses. Also pins the planted classes whose tier
+    is certain by construction: exact/paraphrase/contain share the base's
+    bytes -> 'exact'; the unrelated 'distinct' class, having no bytes match,
+    must never be 'exact'."""
+    from tbdedup_spark import synth
+
+    rows = []
+    for b in range(40):
+        rows.extend(synth.rows_for_base(b, seed=7))
+    hist = [r for r in rows if r.image_id.endswith("_00")]
+    new = [r for r in rows if not r.image_id.endswith("_00")]
+    assert new and hist
+    mk = lambda rs: spark.createDataFrame(
+        [(r.image_id, r.data, r.phash) for r in rs],
+        "image_id string, bytes binary, phash long",
+    )
+    got = {
+        r["image_id"]: r["tier"]
+        for r in incremental.tiered_image_dedup(
+            mk(new), mk(hist), max_hamming=7, n_bands=8
+        ).collect()
+    }
+    assert set(got) == {r.image_id for r in new}
+
+    hist_bytes = {r.data for r in hist}
+    hist_ph = [r.phash for r in hist]
+    for r in new:
+        if r.data in hist_bytes:
+            want = "exact"
+        elif any(bin((r.phash ^ p) & (2**64 - 1)).count("1") <= 7 for p in hist_ph):
+            want = "near"
+        else:
+            want = "unique"
+        assert got[r.image_id] == want, (r.image_id, r.dup_class, got[r.image_id], want)
+
+    by_class = {}
+    for r in new:
+        by_class.setdefault(r.dup_class, []).append(got[r.image_id])
+    for cls in ("exact", "paraphrase", "contain"):
+        assert all(t == "exact" for t in by_class.get(cls, [])), by_class.get(cls)
+    assert all(t != "exact" for t in by_class.get("distinct", []))
