@@ -59,6 +59,13 @@ NEARDUP2_CAP = 256   # bucket cap — dropped, reported, oracle-MIRRORED
 INC_NEW_MOD = 5      # tiered incremental dedup: doc_id % 5 == 0 is the "new
 # batch", the rest is "history" — a deterministic 20/80 split both engines
 # can state declaratively
+BLOOM_BPK = 4        # tier-0 Bloom bits per history key — DELIBERATELY tight
+# (production sizing is 10-16 bits/key for sub-percent FP; the operator
+# default m is 2^20). At 4 bits/key the fill is 1-e^-1 = 63.2% and the FP
+# rate ~16% AT EVERY SCALE (m grows with the corpus), so the contract query
+# exercises — and the DuckDB oracle bit-checks — the false-positive algebra
+# rather than comparing two all-false columns.
+BLOOM_K = 4          # Bloom hash count
 IMG_TIER_HAM = 7     # image tiered dedup: pHash Hamming radius for the
 # 'near' tier — the pipeline's phash_max_hamming (plans/pipeline.py:47), so
 # batch verdicts are consistent with the corpus detector's
@@ -576,6 +583,49 @@ def _q_tiered_incremental_dedup(spark, sf_dir):
         # each side's explode+groupBy signature feeds banding AND the verify
         # joins — materialize once (same contract as minhash_lsh_pairs)
         checkpoint=True,
+    )
+
+
+def _q_bloom_prefilter(spark, sf_dir):
+    """Tier-0 of the incremental-dedup ladder: a Bloom-filter membership
+    probe of the NEW batch (doc_id % INC_NEW_MOD == 0) against a bitmap
+    index built over HISTORY's exact signatures — the reusable, mergeable,
+    O(m/32)-shippable form of the reference dedup writer's in-memory
+    already-written-hashes set (tbdedup/dedup/__init__.py:137-161). Returns
+    (doc_id, bloom_maybe, exact_dup) per new doc: `bloom_maybe` is the
+    tier-0 verdict, `exact_dup` the ground truth the next tier would
+    compute, so the no-false-negatives invariant (bloom_maybe >=
+    exact_dup) is visible in — and checked by — the oracle comparison
+    itself. Positions use the md5-based hash60, so DuckDB computes the
+    IDENTICAL bitmap, false positives included (deterministic, engine-
+    portable); m is auto-sized to BLOOM_BPK bits/key so the FP rate stays
+    ~16% at every sf — visible to the hash compare, never saturating.
+    Scale shape: bitmap built with one map-side history pass + partial-
+    aggregated bit_or (only the bitmap ever shuffles), probed by |batch|*k
+    codegen rows against a broadcast of m/32 words; history is untouched
+    at probe time — the whole point of tier 0."""
+    d = _t(spark, sf_dir, "documents")
+    sig = F.sha2(text.norm_text("text"), 256)
+    is_new = F.col("doc_id") % INC_NEW_MOD == 0
+    new_sigs = d.filter(is_new).select(
+        F.col("doc_id").alias("_id"), sig.alias("_sig")
+    )
+    hist_sigs = d.filter(~is_new).select(sig.alias("_sig"))
+    m_bits = max(256, BLOOM_BPK * hist_sigs.count())
+    index = incremental.bloom_index(hist_sigs, m_bits=m_bits, k=BLOOM_K)
+    maybe = incremental.bloom_maybe_matches(
+        new_sigs, index, m_bits=m_bits, k=BLOOM_K
+    )
+    exact = incremental.exact_matches(new_sigs, hist_sigs.select("_sig"))
+    return (
+        new_sigs.select("_id")
+        .join(F.broadcast(maybe.withColumn("_m", F.lit(True))), "_id", "left")
+        .join(F.broadcast(exact.withColumn("_e", F.lit(True))), "_id", "left")
+        .select(
+            F.col("_id").alias("doc_id"),
+            F.coalesce("_m", F.lit(False)).alias("bloom_maybe"),
+            F.coalesce("_e", F.lit(False)).alias("exact_dup"),
+        )
     )
 
 
@@ -1811,6 +1861,36 @@ FROM newb n
 LEFT JOIN ex e ON n.image_id = e.image_id
 LEFT JOIN nr r ON n.image_id = r.image_id
 """,
+        # identical bitmap by construction: positions are hash60(sha256(norm)
+        # || ':i') % m on both engines; 32 bits packed per BIGINT word (bit
+        # 63 never set — DuckDB << refuses shift-63 overflow). bloom_maybe
+        # >= exact_dup (no false negatives) is thereby oracle-checked.
+        "bloom_prefilter": f"""
+WITH d AS (SELECT doc_id, sha256({_NORM}) AS sig FROM documents),
+newb AS (SELECT * FROM d WHERE doc_id % {INC_NEW_MOD} = 0),
+hist AS (SELECT sig FROM d WHERE doc_id % {INC_NEW_MOD} != 0),
+mparam AS (SELECT greatest(256, {BLOOM_BPK} * count(*)) AS m FROM hist),
+hpos AS (SELECT {_h60_sql(f"sig || ':' || i")} % mp.m AS p
+         FROM hist CROSS JOIN generate_series(0, {BLOOM_K - 1}) g(i)
+              CROSS JOIN mparam mp),
+bloom AS (SELECT p // 32 AS chunk_idx,
+                 bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+          FROM hpos GROUP BY 1),
+npos AS (SELECT n.doc_id, {_h60_sql(f"n.sig || ':' || i")} % mp.m AS p
+         FROM newb n CROSS JOIN generate_series(0, {BLOOM_K - 1}) g(i)
+              CROSS JOIN mparam mp),
+probed AS (SELECT doc_id,
+                  min(CASE WHEN (COALESCE(c.bits, 0)
+                                 & (CAST(1 AS BIGINT) << CAST(np.p % 32 AS INT))) <> 0
+                           THEN 1 ELSE 0 END) AS allhit
+           FROM npos np LEFT JOIN bloom c ON c.chunk_idx = np.p // 32
+           GROUP BY doc_id),
+exq AS (SELECT DISTINCT n.doc_id FROM newb n JOIN hist h USING (sig))
+SELECT n.doc_id,
+       COALESCE(pr.allhit = 1, FALSE) AS bloom_maybe,
+       (e.doc_id IS NOT NULL) AS exact_dup
+FROM newb n LEFT JOIN probed pr USING (doc_id) LEFT JOIN exq e USING (doc_id)
+""",
         "semdedup_prune": _semdedup_sql(),
         "hapax_counts": f"""
 WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
@@ -2001,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "repetition_scores": _q_repetition_scores,
         "tiered_incremental_dedup": _q_tiered_incremental_dedup,
+        "bloom_prefilter": _q_bloom_prefilter,
         "semdedup_prune": _q_semdedup_prune,
         "scan_filter_project": _q_scan_filter,
         "group_agg": _q_group_agg,

@@ -251,3 +251,99 @@ def tiered_image_dedup(
             .alias("tier"),
         )
     )
+
+
+def _bloom_positions(sig_col: str, m_bits: int, k: int):
+    """The k Bloom bit positions of a signature: hash60(sig || ':' || i)
+    % m_bits for i in 0..k-1. hash60 is the md5-based ORACLE-GRADE hash
+    (functions/text.py), so DuckDB computes bit-identical positions."""
+    return F.array(
+        *[
+            text.hash60(F.concat(F.col(sig_col), F.lit(f":{i}"))) % m_bits
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_index(
+    hist_sigs: DataFrame,
+    sig_col: str = "_sig",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """The tier-0 index: an ``m_bits``-bit Bloom filter over every history
+    signature, as a (chunk_idx: long, bits: long) relation packing 32 bits
+    per word (bit 63 is never set — DuckDB's BIGINT ``<<`` refuses shift-63
+    overflow, and staying in 0..31 keeps the mask algebra engine-portable).
+
+    Build shape: one map-side pass over history (k positions per row,
+    codegen), then a groupBy(chunk_idx) bit_or whose partial aggregation
+    collapses each task's output to <= m_bits/32 rows BEFORE the shuffle —
+    the only data that ever moves is the (tiny, bounded) bitmap itself.
+    The relation is a REUSABLE INDEX: at 100 TB you build it once (or
+    bit_or-merge per-partition increments as the corpus grows — Bloom
+    union IS bit_or), persist it, and every daily batch probes it without
+    touching history at all. That is the point of tier 0: ``exact_matches``
+    must still map-scan all of history once per batch; the Bloom probe
+    costs |batch| * k codegen rows against a broadcast bitmap.
+
+    No false negatives ever; false-positive rate ~ (1 - e^{-kn/m})^k, so
+    size m_bits ~ 10-16 bits per history key for sub-percent FP (the
+    standard sizing; FPs only cost a wasted tier-1 lookup, never a wrong
+    verdict). Reference analog: the dedup writer's already-written-hashes
+    set held in memory (tbdedup/dedup/__init__.py:137-161) — here made
+    mergeable, persistable, and O(m/32) to ship.
+    """
+    return (
+        hist_sigs.select(
+            F.explode(_bloom_positions(sig_col, m_bits, k)).alias("_pos")
+        )
+        .select(
+            F.shiftright("_pos", 5).alias("chunk_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 32 AS INT))").alias(
+                "_mask"
+            ),
+        )
+        .groupBy("chunk_idx")
+        .agg(F.bit_or("_mask").alias("bits"))
+    )
+
+
+def bloom_maybe_matches(
+    new_sigs: DataFrame,
+    index: DataFrame,
+    id_col: str = "_id",
+    sig_col: str = "_sig",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Ids of NEW rows ALL of whose k Bloom positions are set in ``index``
+    (from ``bloom_index`` with the SAME m_bits/k) — the tier-0
+    "maybe-duplicate" set. Superset of the true exact-match set (no false
+    negatives); route only these rows into tier 1+.
+
+    Plan: k codegen position rows per batch row, broadcast-join the bitmap
+    on chunk_idx (missing chunk == all-zero word), one batch-bounded
+    groupBy(min(hit)). History is not touched at all.
+    """
+    probe = new_sigs.select(
+        F.col(id_col).alias("_bid"),
+        F.explode(_bloom_positions(sig_col, m_bits, k)).alias("_pos"),
+    ).select(
+        "_bid",
+        F.shiftright("_pos", 5).alias("chunk_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 32 AS INT))").alias("_mask"),
+    )
+    hit = probe.join(F.broadcast(index), "chunk_idx", "left").select(
+        "_bid",
+        (
+            F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(F.col("_mask"))
+            != 0
+        ).alias("_hit"),
+    )
+    return (
+        hit.groupBy("_bid")
+        .agg(F.min("_hit").alias("_all"))
+        .filter(F.col("_all"))
+        .select(F.col("_bid").alias(id_col))
+    )

@@ -275,3 +275,51 @@ def test_tiered_image_dedup_matches_bruteforce(spark):
     for cls in ("exact", "paraphrase", "contain"):
         assert all(t == "exact" for t in by_class.get(cls, [])), by_class.get(cls)
     assert all(t != "exact" for t in by_class.get("distinct", []))
+
+
+# --- Bloom tier-0 prefilter -----------------------------------------------------
+
+
+def test_bloom_prefilter_no_false_negatives_and_exact_fp_set(spark):
+    """With a deliberately tiny bitmap (m=256 bits) the Bloom probe MUST
+    still flag every true member (no false negatives) and its false
+    positives must equal a bit-for-bit Python recomputation of the same
+    md5-position algebra — i.e. the filter is deterministic and
+    engine-portable, not merely 'approximately right'."""
+    import hashlib
+
+    from tbdedup_spark.operators import incremental as inc
+
+    m, k = 256, 3
+    hist_texts = [f"history document number {i} about topic {i % 7}" for i in range(40)]
+    new_rows = [(100 + i, f"new crawl document {i} unlike history") for i in range(30)]
+    new_rows += [(200, hist_texts[3]), (201, hist_texts[17])]  # true members
+
+    def positions(text_val):
+        sig = hashlib.sha256(text_val.encode()).hexdigest()
+        return [
+            int(hashlib.md5(f"{sig}:{i}".encode()).hexdigest()[:15], 16) % m
+            for i in range(k)
+        ]
+
+    set_bits = {p for t in hist_texts for p in positions(t)}
+    want = {
+        did for did, t in new_rows if all(p in set_bits for p in positions(t))
+    }
+    assert {200, 201} <= want  # sanity: the members are flagged in the model
+
+    sig = F.sha2(F.col("text"), 256)  # texts are already normalized here
+    hist = spark.createDataFrame(
+        [(t,) for t in hist_texts], "text string"
+    ).select(sig.alias("_sig"))
+    new = spark.createDataFrame(new_rows, "doc_id long, text string").select(
+        F.col("doc_id").alias("_id"), sig.alias("_sig")
+    )
+    idx = inc.bloom_index(hist, m_bits=m, k=k)
+    got = {
+        r["_id"]
+        for r in inc.bloom_maybe_matches(new, idx, m_bits=m, k=k).collect()
+    }
+    assert got == want, (sorted(got), sorted(want))
+    # tiny m was chosen to actually exercise the FP path
+    assert want - {200, 201}, "test corpus produced no false positives; widen it"
