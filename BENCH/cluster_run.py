@@ -23,6 +23,13 @@ from pyspark.sql import SparkSession
 from tbdedup_spark.plans.pipeline import DedupConfig, run_pipeline
 
 
+def _event_log_dir() -> str:
+    # Spark requires the event-log base dir to pre-exist (/tmp is wiped
+    # between sessions on this host; the context fails to start otherwise).
+    os.makedirs("/tmp/spark-events", exist_ok=True)
+    return "file:///tmp/spark-events"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--master", required=True)
@@ -60,7 +67,7 @@ def main() -> None:
         .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "4")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.eventLog.enabled", "true")
-        .config("spark.eventLog.dir", "file:///tmp/spark-events")
+        .config("spark.eventLog.dir", _event_log_dir())
         # FAIR, not FIFO: the four detector stages submit jobs concurrently,
         # and under FIFO a 3ms bookkeeping task (schema inference, stage
         # read-back) queues behind a 40s detector stage holding every core

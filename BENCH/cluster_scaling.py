@@ -111,8 +111,13 @@ def run_level(cores_max: int, corpus: str, tag: str) -> dict:
          "--master", MASTER_URL, "--cores-max", str(cores_max),
          "--executor-cores", str(EXEC_CORES),
          "--input", corpus, "--warehouse", wh],
-        capture_output=True, text=True, check=True,
+        capture_output=True, text=True,
     )
+    if out.returncode != 0:
+        # surface the driver's own traceback — check=True swallowed it
+        raise RuntimeError(
+            f"cluster_run rc={out.returncode}\n{out.stderr[-4000:]}"
+        )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from tbdedup_spark.functions import text, vectors
 from tbdedup_spark.operators import (
-    ann, asof, incremental, minhash, setsim, simhash, substr, unionfind,
+    ann, asof, cdc, incremental, minhash, setsim, simhash, substr, unionfind,
 )
 
 # --- shared detector config (same constants on both engines) -----------------
@@ -66,6 +66,10 @@ BLOOM_BPK = 4        # tier-0 Bloom bits per history key — DELIBERATELY tight
 # exercises — and the DuckDB oracle bit-checks — the false-positive algebra
 # rather than comparing two all-false columns.
 BLOOM_K = 4          # Bloom hash count
+CDC_W = 16           # CDC fingerprint window (chars)
+CDC_D = 64           # CDC boundary divisor — expected chunk ~64 chars at the
+# test corpus's ~300-char docs (scaled-down analog of production 4-64 KB
+# chunks); the rule is scale-free, only the constants are corpus-sized
 IMG_TIER_HAM = 7     # image tiered dedup: pHash Hamming radius for the
 # 'near' tier — the pipeline's phash_max_hamming (plans/pipeline.py:47), so
 # batch verdicts are consistent with the corpus detector's
@@ -626,6 +630,27 @@ def _q_bloom_prefilter(spark, sf_dir):
             F.coalesce("_m", F.lit(False)).alias("bloom_maybe"),
             F.coalesce("_e", F.lit(False)).alias("exact_dup"),
         )
+    )
+
+
+def _q_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined chunking + chunk-level exact dedup over the raw
+    document text — sub-document redundancy (boilerplate paragraphs, quoted
+    blocks) that whole-doc signatures miss. Boundary rule: position i ends
+    a chunk iff i == len or (i >= CDC_W and hash60(text[i-CDC_W+1..i]) %
+    CDC_D == 0) — content-defined, so an edit re-synchronizes at the next
+    fingerprint hit (the CDC property; tested in tests/test_round5b.py).
+    Returns per-doc (n_chunks, dup_chunks, dup_chars) where dup = chunk
+    sha256 multiplicity >= 2 corpus-wide. Reference analog: the dedup
+    writer's one-hash-per-whole-message rule
+    (tbdedup/dedup/__init__.py:137-161) refined below document granularity.
+    Scale shape: the chunker is ONE map-side projection (boundary array
+    materialized once per row — verified plan), zero shuffle until the
+    chunk-hash count (map-side partial agg) + narrow join-back + per-doc
+    agg; text never shuffles. Oracle: the identical md5-position algebra
+    as DuckDB list_filter/list_transform SQL."""
+    return cdc.chunk_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", w=CDC_W, divisor=CDC_D
     )
 
 
@@ -1891,6 +1916,32 @@ SELECT n.doc_id,
        (e.doc_id IS NOT NULL) AS exact_dup
 FROM newb n LEFT JOIN probed pr USING (doc_id) LEFT JOIN exq e USING (doc_id)
 """,
+        # identical boundary algebra by construction: position i ends a chunk
+        # iff i = n or hash60(window) % D = 0, with hash60 the shared
+        # md5-based base hash; list_filter/list_transform state the same
+        # chunker the Spark higher-order projection runs.
+        "cdc_chunk_dedup": f"""
+WITH d AS (SELECT doc_id, text AS t, length(text) AS n FROM documents
+           WHERE length(text) > 0),
+bl AS (SELECT doc_id, t,
+              list_filter(generate_series(1, n),
+                          i -> i = n OR (i >= {CDC_W} AND
+                               {_h60_sql(f"substr(t, i - {CDC_W - 1}, {CDC_W})")} % {CDC_D} = 0)) AS bs
+       FROM d),
+ch AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(bs)),
+                     j -> substr(t, CASE WHEN j = 1 THEN 1 ELSE bs[j - 1] + 1 END,
+                                 bs[j] - CASE WHEN j = 1 THEN 0 ELSE bs[j - 1] END))) AS chunk
+       FROM bl),
+inst AS (SELECT doc_id, sha256(chunk) AS chh, length(chunk) AS clen FROM ch),
+mult AS (SELECT chh, count(*) AS m FROM inst GROUP BY 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN m >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+       CAST(sum(CASE WHEN m >= 2 THEN clen ELSE 0 END) AS BIGINT) AS dup_chars
+FROM inst JOIN mult USING (chh)
+GROUP BY doc_id
+""",
         "semdedup_prune": _semdedup_sql(),
         "hapax_counts": f"""
 WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
@@ -2082,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": _q_repetition_scores,
         "tiered_incremental_dedup": _q_tiered_incremental_dedup,
         "bloom_prefilter": _q_bloom_prefilter,
+        "cdc_chunk_dedup": _q_cdc_chunk_dedup,
         "semdedup_prune": _q_semdedup_prune,
         "scan_filter_project": _q_scan_filter,
         "group_agg": _q_group_agg,

@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "decontaminate_ngram_join",
     "repetition_scores",
     "tiered_incremental_dedup",
+    "bloom_prefilter",
+    "cdc_chunk_dedup",
     "semdedup_prune",
     "paragraph_dedup",
     "stratified_sample",

@@ -323,3 +323,77 @@ def test_bloom_prefilter_no_false_negatives_and_exact_fp_set(spark):
     assert got == want, (sorted(got), sorted(want))
     # tiny m was chosen to actually exercise the FP path
     assert want - {200, 201}, "test corpus produced no false positives; widen it"
+
+
+# --- content-defined chunking ---------------------------------------------------
+
+
+def _cdc_py(t, w=16, divisor=64):
+    """Python mirror of operators/cdc.py's boundary + chunk algebra."""
+    import hashlib
+
+    n = len(t)
+    bs = [
+        i
+        for i in range(1, n + 1)
+        if i == n
+        or (
+            i >= w
+            and int(hashlib.md5(t[i - w : i].encode()).hexdigest()[:15], 16)
+            % divisor
+            == 0
+        )
+    ]
+    out, p = [], 0
+    for b in bs:
+        out.append(t[p:b])
+        p = b
+    return out
+
+
+def test_cdc_chunks_match_python_recomputation(spark):
+    """Chunk multisets equal a bit-for-bit Python recomputation, including
+    the edge docs (shorter than the window; shared paragraph across docs)."""
+    import random
+
+    from tbdedup_spark.operators import cdc
+
+    rng = random.Random(7)
+    words = ["alpha", "bravo", "carol", "delta", "echo", "fox", "golf", "hotel"]
+    shared = " ".join(rng.choice(words) for _ in range(60))
+    rows = [
+        (0, shared + " " + " ".join(rng.choice(words) for _ in range(40))),
+        (1, " ".join(rng.choice(words) for _ in range(40)) + " " + shared),
+        (2, "tiny"),  # shorter than w -> one whole-doc chunk
+        (3, " ".join(rng.choice(words) for _ in range(120))),
+    ]
+    got = {}
+    inst = cdc.chunk_instances(
+        spark.createDataFrame(rows, "doc_id long, text string"), w=16, divisor=64
+    )
+    for r in inst.collect():
+        got.setdefault(r["_id"], []).append(r["chunk"])
+    for did, t in rows:
+        assert sorted(got[did]) == sorted(_cdc_py(t)), did
+        assert "".join(_cdc_py(t)) == t  # chunks partition the doc
+    # the planted shared paragraph produces cross-doc duplicate chunks
+    assert set(got[0]) & set(got[1])
+
+
+def test_cdc_boundaries_resync_after_edit():
+    """THE content-defined property: a single-character insertion changes
+    only the chunks touching the edit — boundaries re-synchronize at the
+    next fingerprint hit, so nearly all chunks survive (fixed-size chunking
+    would shift and invalidate every chunk after the edit)."""
+    import random
+
+    rng = random.Random(11)
+    words = ["alpha", "bravo", "carol", "delta", "echo", "fox", "golf", "hotel"]
+    t = " ".join(rng.choice(words) for _ in range(400))
+    edited = t[:5] + "X" + t[5:]
+    a, b = _cdc_py(t), _cdc_py(edited)
+    common = set(a) & set(b)
+    assert len(a) >= 15  # enough chunks for the property to mean something
+    assert len(common) >= len(a) - 3, (len(a), len(common))
+    # ...and the suffix after the first resync point is chunked identically
+    assert a[-1] == b[-1]
