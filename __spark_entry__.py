@@ -66,6 +66,7 @@ BLOOM_BPK = 4        # tier-0 Bloom bits per history key — DELIBERATELY tight
 # exercises — and the DuckDB oracle bit-checks — the false-positive algebra
 # rather than comparing two all-false columns.
 BLOOM_K = 4          # Bloom hash count
+DSIR_B = 1024        # DSIR hashed-bigram feature buckets
 CDC_W = 16           # CDC fingerprint window (chars)
 CDC_D = 64           # CDC boundary divisor — expected chunk ~64 chars at the
 # test corpus's ~300-char docs (scaled-down analog of production 4-64 KB
@@ -345,6 +346,61 @@ def _q_ngram_topk(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "gram")
         .limit(20)
+    )
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (Xie et al. 2023, arXiv:2302.03169):
+    score every document by how target-like its hashed-bigram profile is —
+    the importance-resampling primitive for steering a 100-TB crawl toward
+    a target distribution. Features: word bigrams of the normalized text
+    hashed to DSIR_B buckets (hash60 — oracle-grade); target = lang='en'
+    docs, raw = whole corpus; per-doc log-weight = sum over the doc's
+    bigram instances of ln(p_f / q_f) with Laplace(+1) smoothing over the
+    B-bucket distributions. Scale shape: one explode (linear in tokens),
+    ONE tiny groupBy(bucket) whose map-side partial collapses to <= DSIR_B
+    rows per task, the B-row smoothed log-ratio table BROADCAST back onto
+    the instance stream, and a per-doc sum — the only corpus-sized shuffle
+    is the final groupBy(doc_id). Docs with < 2 words get weight 0.0 via
+    the left join. Reference analog: the planner's regex include/exclude
+    predicate (tbdedup/planner/plan.py:96-102) generalized from a boolean
+    gate to a learned continuous score."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(text.norm_text("text"), " ")
+    base = d.select("doc_id", "lang", ws.alias("_ws")).filter(F.size("_ws") >= 2)
+    grams = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_ws) - 1),"
+                " i -> concat(element_at(_ws, i), ' ', element_at(_ws, i + 1)))"
+            )
+        ).alias("_g"),
+    ).select("doc_id", "lang", (text.hash60(F.col("_g")) % DSIR_B).alias("_f"))
+    feat = grams.groupBy("_f").agg(
+        F.count(F.lit(1)).alias("_q"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("_t"),
+    )
+    tot = feat.agg(
+        F.sum("_q").alias("_tq"), F.sum("_t").alias("_tt")
+    )
+    lr = feat.crossJoin(F.broadcast(tot)).select(
+        "_f",
+        (
+            F.log((F.col("_t") + 1) / (F.col("_tt") + DSIR_B))
+            - F.log((F.col("_q") + 1) / (F.col("_tq") + DSIR_B))
+        ).alias("_lr"),
+    )
+    per_doc = (
+        grams.join(F.broadcast(lr), "_f")
+        .groupBy("doc_id")
+        .agg(F.sum("_lr").alias("_w"))
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select("doc_id", F.coalesce("_w", F.lit(0.0)).alias("dsir_logw"))
     )
 
 
@@ -1920,6 +1976,24 @@ FROM newb n LEFT JOIN probed pr USING (doc_id) LEFT JOIN exq e USING (doc_id)
         # iff i = n or hash60(window) % D = 0, with hash60 the shared
         # md5-based base hash; list_filter/list_transform state the same
         # chunker the Spark higher-order projection runs.
+        "dsir_importance_weights": f"""
+WITH d AS (SELECT doc_id, lang, string_split({_NORM}, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i + 1])) AS gm
+      FROM d WHERE len(ws) >= 2),
+gr AS (SELECT doc_id, lang, {_h60_sql("gm")} % {DSIR_B} AS f FROM g),
+feat AS (SELECT f, count(*) AS q,
+                sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t
+         FROM gr GROUP BY 1),
+tot AS (SELECT sum(q) AS tq, sum(t) AS tt FROM feat),
+lr AS (SELECT f, ln((t + 1) / CAST(tt + {DSIR_B} AS DOUBLE))
+              - ln((q + 1) / CAST(tq + {DSIR_B} AS DOUBLE)) AS lrv
+       FROM feat, tot),
+pd AS (SELECT doc_id, sum(lrv) AS w FROM gr JOIN lr USING (f) GROUP BY 1)
+SELECT doc_id, COALESCE(pd.w, 0.0) AS dsir_logw
+FROM documents LEFT JOIN pd USING (doc_id)
+""",
         "cdc_chunk_dedup": f"""
 WITH d AS (SELECT doc_id, text AS t, length(text) AS n FROM documents
            WHERE length(text) > 0),
@@ -2134,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiered_incremental_dedup": _q_tiered_incremental_dedup,
         "bloom_prefilter": _q_bloom_prefilter,
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,
+        "dsir_importance_weights": _q_dsir_weights,
         "semdedup_prune": _q_semdedup_prune,
         "scan_filter_project": _q_scan_filter,
         "group_agg": _q_group_agg,

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "tiered_incremental_dedup",
     "bloom_prefilter",
     "cdc_chunk_dedup",
+    "dsir_importance_weights",
     "semdedup_prune",
     "paragraph_dedup",
     "stratified_sample",

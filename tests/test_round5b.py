@@ -397,3 +397,34 @@ def test_cdc_boundaries_resync_after_edit():
     assert len(common) >= len(a) - 3, (len(a), len(common))
     # ...and the suffix after the first resync point is chunked identically
     assert a[-1] == b[-1]
+
+
+# --- DSIR importance weights ------------------------------------------------------
+
+
+def test_dsir_weights_separate_target_from_offtarget(spark, tmp_path):
+    """Docs built from the target ('en') bigram vocabulary must outscore
+    docs built from the off-target vocabulary, and a doc too short for any
+    bigram gets exactly 0.0."""
+    import __spark_entry__ as M
+
+    en = "the model trains on clean english text with many shared bigrams"
+    de = "das modell trainiert auf deutschem text mit anderen bigrammen"
+    rows = [
+        (0, en, "en"), (1, en + " indeed", "en"), (2, en + " truly", "en"),
+        (3, de, "de"), (4, de + " wirklich", "de"),
+        (5, en.replace("clean", "fresh"), "en"),
+        (10, en, "de"),   # en-vocab doc labeled off-target: still scores high
+        (11, de, "en"),   # the reverse
+        (12, "word", "en"),  # < 2 tokens -> weight 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in M.queries()["dsir_importance_weights"](spark, str(tmp_path)).collect()
+    }
+    assert got[12] == 0.0
+    # every en-vocab doc above every de-vocab doc, regardless of its label
+    en_docs, de_docs = [0, 1, 2, 5, 10], [3, 4, 11]
+    assert min(got[i] for i in en_docs) > max(got[i] for i in de_docs), got
