@@ -67,6 +67,8 @@ BLOOM_BPK = 4        # tier-0 Bloom bits per history key — DELIBERATELY tight
 # rather than comparing two all-false columns.
 BLOOM_K = 4          # Bloom hash count
 DSIR_B = 1024        # DSIR hashed-bigram feature buckets
+DIH_HAM = 6          # dihedral near-dup: pHash Hamming radius (light
+# perturbation on the planted rotated copies, same radius as audio_near_dups)
 CDC_W = 16           # CDC fingerprint window (chars)
 CDC_D = 64           # CDC boundary divisor — expected chunk ~64 chars at the
 # test corpus's ~300-char docs (scaled-down analog of production 4-64 KB
@@ -955,6 +957,33 @@ def _q_frame_near_dups(spark, sf_dir):
     )
 
 
+def _q_dihedral_neardup(spark, sf_dir):
+    """Rotation/mirror-invariant image near-dup — the re-upload class plain
+    pHash is blind to (a 90-degree rotation permutes and re-signs the DCT
+    coefficients, landing Hamming-far from the original). synth plants 20
+    rotated/mirrored + lightly-perturbed copies among 40 bases; the
+    detector hashes all 8 dihedral orientations per image (one decode,
+    map-only) and runs the banded-Hamming self-join over the 8x signature
+    relation, keeping matches where one side is the STORED orientation.
+    ORACLED like audio/frames: the landed (okey, phash) relation lets
+    DuckDB re-derive the banded join, bucket cap, Hamming filter, and the
+    canonical-orientation predicate (split_part on image_id:orient).
+    Planted-recovery + plain-pHash-blindness asserted in
+    tests/test_round5b.py."""
+    import os
+
+    from tbdedup_spark import synth
+    from tbdedup_spark.operators import multimodal
+    from tbdedup_spark.session import ensure_worker_pyfiles
+
+    ensure_worker_pyfiles(spark)  # pandas-UDF closures import the package
+    media = synth.rotated_corpus(spark, n_orig=40, n_dup=20, seed=SEED)
+    return multimodal.dihedral_near_dups(
+        media, max_hamming=DIH_HAM, n_bands=8,
+        sigs_out_path=os.path.join(MEDIA_ORACLE_DIR, "dihedral"),
+    )
+
+
 # Stable landing spot for the streaming query's per-batch signature tables:
 # the DuckDB mirror reads these files by absolute path (oracle_sql() returns
 # a static string, so the location cannot be a per-run tempdir). The Spark
@@ -1798,6 +1827,15 @@ FROM u JOIN fb USING (sig, batch) GROUP BY u.sig
             max_hamming=3,
             extra_where="AND split_part(a_id, ':', 1) != split_part(b_id, ':', 1)",
         ),
+        "dihedral_image_neardup": _hamming_files_sql(
+            f"{MEDIA_ORACLE_DIR}/dihedral", "okey", "phash", "dihedral_phash",
+            max_hamming=DIH_HAM,
+            extra_where=(
+                "AND split_part(a_id, ':', 1) != split_part(b_id, ':', 1) "
+                "AND (split_part(a_id, ':', 2) = '0' "
+                "OR split_part(b_id, ':', 2) = '0')"
+            ),
+        ),
         "ann_topk_ivf": f"""
 WITH {_ann_common_sql()},
 cc AS (SELECT neighbor_id, cell
@@ -2196,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_counts": _q_streaming_windowed_counts,
         "audio_near_dups": _q_audio_near_dups,
         "frame_near_dups": _q_frame_near_dups,
+        "dihedral_image_neardup": _q_dihedral_neardup,
         "embedding_neardup_pairs": _q_embedding_neardup,
         "embedding_neardup_capped": _q_embedding_neardup_capped,
         "ngram_topk": _q_ngram_topk,

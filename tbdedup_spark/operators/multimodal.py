@@ -387,3 +387,104 @@ def audio_near_dups(
         checkpoint=checkpoint,
     )
     return pairs
+
+
+# --- rotation/mirror-invariant image near-dup (dihedral pHash) ----------------
+
+DIHEDRAL_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("okey", T.StringType()),   # image_id:orient (0..7)
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def dihedral_transforms(px: np.ndarray) -> list[np.ndarray]:
+    """The 8 elements of the dihedral group D4 applied to an HxWxC image:
+    orient o = (flip left-right if o >= 4) then rot90 x (o % 4). Index 0 is
+    the identity, so orientation-0 rows ARE the plain stored-image pHashes."""
+    out = []
+    for flip in (False, True):
+        q = px[:, ::-1] if flip else px
+        for k in range(4):
+            out.append(np.rot90(q, k))
+    return out
+
+
+def dihedral_signatures(
+    images: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """(okey=id:orient, phash): 8 orientation pHashes per image — map-only
+    Arrow batches, one decode amortized over all 8 hashes; pixels never
+    leave the stage. Decode failures drop the image (its error row belongs
+    to the ingest stage, not the detector)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .. import codecs as _c
+
+        for pdf in batches:
+            out = []
+            for iid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    px = _c.decode_image(bytes(data))
+                except Exception:
+                    continue
+                for o, t in enumerate(dihedral_transforms(px)):
+                    out.append((f"{iid}:{o}", _c.phash64(np.ascontiguousarray(t))))
+            yield pd.DataFrame(out, columns=["okey", "phash"])
+
+    return images.mapInPandas(fn, DIHEDRAL_SIG_SCHEMA)
+
+
+def dihedral_near_dups(
+    images: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    max_bucket: int | None = 1024,
+    sigs_out_path: str | None = None,
+) -> DataFrame:
+    """Rotation/mirror-invariant image near-dup pairs: a re-upload rotated
+    90/180/270 or mirrored lands Hamming-far from the original under plain
+    pHash (the DCT coefficients permute and re-sign) — this detector hashes
+    all 8 dihedral orientations and keeps a banded-Hamming match whenever
+    SOME orientation of one image meets the STORED orientation of another
+    ((orient_a = 0 OR orient_b = 0) — matches at two non-zero orientations
+    are the same underlying pair re-expressed, by the group structure, so
+    the canonical form drops them).
+
+    Scale shape: the signature stage is map-only (one decode, 8 hashes);
+    the banded self-join runs over 8x rows — the documented price of D4
+    invariance at corpus-vs-corpus scope. For batch-vs-history tiering,
+    expand ONLY the batch side to 8 orientations and probe history's
+    stored-orientation index via incremental.hamming_matches_cross: history
+    stays 1x and never shuffles. Output: (a_id, b_id, detector, score) over
+    image_id:orient keys; split on ':' to recover ids and orientations.
+    """
+    from . import simhash as _sh
+    from pyspark.sql import functions as F
+
+    sigs = dihedral_signatures(images, id_col, bytes_col)
+    checkpoint = True
+    if sigs_out_path is not None:
+        sigs.write.mode("overwrite").parquet(sigs_out_path)
+        sigs = images.sparkSession.read.parquet(sigs_out_path)
+        checkpoint = False
+    pairs, _dropped = _sh.simhash_pairs(
+        sigs,
+        id_col="okey",
+        sig_col="phash",
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        width=64,
+        max_bucket=max_bucket,
+        detector_name="dihedral_phash",
+        checkpoint=checkpoint,
+    )
+    base = lambda c: F.substring_index(c, ":", 1)
+    orient = lambda c: F.substring_index(c, ":", -1)
+    return pairs.filter(
+        (base(F.col("a_id")) != base(F.col("b_id")))
+        & ((orient(F.col("a_id")) == "0") | (orient(F.col("b_id")) == "0"))
+    )

@@ -331,3 +331,41 @@ def video_corpus(spark, n_orig: int = 24, n_dup: int = 12, seed: int = 42):
             yield pd.DataFrame(rows, columns=["media_id", "bytes"])
 
     return spark.range(total).repartition(8).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def rotated_corpus(spark, n_orig: int = 40, n_dup: int = 20, seed: int = 42):
+    """(image_id, bytes) PNG rows: im{j} (j < n_orig) are procedural base
+    images; im{n_orig+j} is base j's pixels under a seeded NON-identity
+    dihedral transform (rot90/180/270, mirrored or not) with a light
+    perturbation — the planted rotated-re-upload set for
+    ``multimodal.dihedral_near_dups`` (invisible to plain stored-orientation
+    pHash, by design)."""
+    import pandas as pd
+
+    from .operators.multimodal import dihedral_transforms
+
+    total = n_orig + n_dup
+    assert n_dup <= n_orig
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                j = i if i < n_orig else i - n_orig
+                brng = np.random.default_rng(seed * 5_000_011 + j)
+                px = _base_pixels(brng)
+                if i >= n_orig:
+                    own = np.random.default_rng(seed * 6_000_083 + i)
+                    o = int(own.integers(1, 8))  # never the identity
+                    px = _perturb(
+                        np.ascontiguousarray(dihedral_transforms(px)[o]), own
+                    )
+                rows.append((f"im{i:04d}", codecs.encode_png(px)))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    return (
+        spark.range(total)
+        .repartition(8)
+        .mapInPandas(gen, "image_id string, bytes binary")
+    )

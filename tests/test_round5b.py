@@ -428,3 +428,42 @@ def test_dsir_weights_separate_target_from_offtarget(spark, tmp_path):
     # every en-vocab doc above every de-vocab doc, regardless of its label
     en_docs, de_docs = [0, 1, 2, 5, 10], [3, 4, 11]
     assert min(got[i] for i in en_docs) > max(got[i] for i in de_docs), got
+
+
+# --- dihedral (rotation/mirror-invariant) image near-dup ----------------------------
+
+
+def test_dihedral_neardup_recovers_rotations_plain_phash_blind(spark):
+    """Every planted rotated/mirrored copy is recovered, with no false
+    pairs — and the SAME banded detector over stored-orientation pHashes
+    only (plain pHash) finds none of them, which is the invariance the
+    operator exists to add."""
+    from tbdedup_spark import synth
+    from tbdedup_spark.operators import multimodal, simhash
+    from tbdedup_spark.session import ensure_worker_pyfiles
+
+    ensure_worker_pyfiles(spark)
+    n_orig, n_dup = 16, 8
+    media = synth.rotated_corpus(spark, n_orig=n_orig, n_dup=n_dup, seed=7)
+    pairs = multimodal.dihedral_near_dups(media, max_hamming=6).collect()
+    found = {
+        tuple(sorted((r["a_id"].split(":")[0], r["b_id"].split(":")[0])))
+        for r in pairs
+    }
+    planted = {
+        (f"im{j:04d}", f"im{n_orig + j:04d}") for j in range(n_dup)
+    }
+    assert found == planted, (sorted(found - planted), sorted(planted - found))
+
+    plain = multimodal.dihedral_signatures(media).filter(
+        F.substring_index("okey", ":", -1) == "0"
+    )
+    blind, _ = simhash.simhash_pairs(
+        plain, id_col="okey", sig_col="phash", max_hamming=6,
+        detector_name="plain",
+    )
+    plain_found = {
+        tuple(sorted((r["a_id"].split(":")[0], r["b_id"].split(":")[0])))
+        for r in blind.collect()
+    }
+    assert not (plain_found & planted), plain_found & planted
