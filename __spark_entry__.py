@@ -380,6 +380,11 @@ def _q_dsir_weights(spark, sf_dir):
             )
         ).alias("_g"),
     ).select("doc_id", "lang", (text.hash60(F.col("_g")) % DSIR_B).alias("_f"))
+    # the gram relation (narrow: id, lang, int bucket) feeds BOTH the feature
+    # counts and the per-doc sum, and Spark re-derives it — including the
+    # per-bigram md5 — from a second scan without this materialization
+    # (same audit finding as cdc_chunk_dedup, BENCH/PLANS.md)
+    grams = grams.localCheckpoint()
     feat = grams.groupBy("_f").agg(
         F.count(F.lit(1)).alias("_q"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("_t"),
