@@ -713,7 +713,8 @@ def _q_cdc_chunk_dedup(spark, sf_dir):
     agg; text never shuffles. Oracle: the identical md5-position algebra
     as DuckDB list_filter/list_transform SQL."""
     return cdc.chunk_stats(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", w=CDC_W, divisor=CDC_D
+        _t(spark, sf_dir, "documents"), "doc_id", "text", w=CDC_W, divisor=CDC_D,
+        min_partitions=spark.sparkContext.defaultParallelism,
     )
 
 
