@@ -87,6 +87,13 @@ SAMPLE_BP = {        # stratified-sampling keep rates in basis points (1/10000)
     "en": 5000, "zh": 3000, "es": 2500, "de": 2000, "fr": 1000,
 }
 SAMPLE_BP_DEFAULT = 500
+QF_MIN_TOKENS = 16   # quality filter chain: rule thresholds (first-fail order
+QF_MAX_TOKENS = 2000  # too_short, too_long, short_tokens, long_tokens,
+QF_MEAN_TOK_MIN = 3.0  # punct_heavy, low_stopword — see
+QF_MEAN_TOK_MAX = 10.0  # functions/text.py:quality_filter_reason)
+QF_MAX_PUNCT = 0.2
+QF_MIN_STOPWORD = 0.04
+QUOTA_K = 100        # per-domain quota: expected docs kept per hot domain
 SEED = 42
 P = text.MERSENNE_P
 COEF = text.perm_coeffs(N_PERM, SEED)
@@ -629,6 +636,73 @@ def _q_repetition_scores(spark, sf_dir):
         dup_frac(grams(2)).alias("dup_2gram_frac"),
         dup_frac(grams(3)).alias("dup_3gram_frac"),
         F.round(top / F.size("toks").cast("double"), 6).alias("top_token_frac"),
+    )
+
+
+def _q_quality_filter_chain(spark, sf_dir):
+    """Quality filter chain with first-fail reason codes — the decision
+    layer on top of ``quality_scores``: every document gets keep/drop plus
+    WHICH ordered rule rejected it (too_short / too_long / short_tokens /
+    long_tokens / punct_heavy / low_stopword / pass), the auditable form a
+    production pipeline needs to tune thresholds from reject histograms
+    instead of silent row loss. Rule semantics + citations in
+    functions/text.py:quality_filter_reason.
+
+    Scale shape: ONE whole-stage-codegen projection over the parquet scan
+    (the CASE shares the feature subexpressions) — zero shuffles, zero
+    Python, pure map at 10^12 docs."""
+    reason = text.quality_filter_reason(
+        "text",
+        min_tokens=QF_MIN_TOKENS,
+        max_tokens=QF_MAX_TOKENS,
+        min_mean_tok=QF_MEAN_TOK_MIN,
+        max_mean_tok=QF_MEAN_TOK_MAX,
+        max_punct=QF_MAX_PUNCT,
+        min_stopword=QF_MIN_STOPWORD,
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        reason.alias("fail_reason"),
+        F.when(reason == "pass", 1).otherwise(0).cast("long").alias("passed"),
+    )
+
+
+def _q_domain_quota_sample(spark, sf_dir):
+    """Hot-domain quota capping — the per-source balancing step of a
+    training-data mix (cap any one domain's contribution at ~QUOTA_K docs;
+    CommonCrawl-derived sets do exactly this to stop a handful of boilerplate
+    domains dominating). `lang` stands in for the domain key in the synthetic
+    schema (it is the skewed column: en has 3.4x fr's mass at sf0.01).
+
+    Unlike ``stratified_sample`` (fixed compile-time rates) the keep rate is
+    DATA-DEPENDENT: rate_bp = min(10000, 10000*K div count(domain)), so hot
+    domains are downsampled exactly to quota in expectation and cold domains
+    pass untouched. Unlike ``topk_per_group`` there is NO per-group sort or
+    window: a 10^9-doc domain costs a map-side-combined count, never a
+    single-task rank — the keep decision stays a pure hash predicate
+    (reproducible across engines/runs/partitionings, like stratified_sample).
+
+    Scale shape: one map-side-combinable groupBy over the domain column
+    (output rows = |domains|, tiny), broadcast join of the rate table back
+    onto the scan, then a codegen hash-predicate filter — the corpus itself
+    never shuffles."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    rates = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_dom"))
+        .select(
+            "lang",
+            F.least(
+                F.lit(10000).cast("long"),
+                F.expr(f"{10000 * QUOTA_K} div n_dom"),
+            ).alias("rate_bp"),
+        )
+    )
+    h = text.hash60(F.concat(F.lit("quota:"), F.col("doc_id").cast("string")))
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter((h % 10000) < F.col("rate_bp"))
+        .select("doc_id", "lang", "rate_bp")
     )
 
 
@@ -1918,6 +1992,36 @@ WHERE {_h60_sql("'sample:' || CAST(doc_id AS VARCHAR)")} % 10000 <
       (CASE {' '.join(f"WHEN lang = '{lg}' THEN {bp}" for lg, bp in sorted(SAMPLE_BP.items()))}
        ELSE {SAMPLE_BP_DEFAULT} END)
 """,
+        "quality_filter_chain": f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+t AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM d),
+f AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        round((length(norm) - (len(toks) - 1)) / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS mtl,
+        round(length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) / greatest(CAST(length(norm) AS DOUBLE), 1.0), 6) AS punct,
+        round(CAST(len(list_intersect(list_distinct(toks), {_STOP_SQL})) AS DOUBLE)
+              / greatest(CAST(len(list_distinct(toks)) AS DOUBLE), 1.0), 6) AS stop
+      FROM t),
+r AS (SELECT doc_id,
+        CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short'
+             WHEN n_tokens > {QF_MAX_TOKENS} THEN 'too_long'
+             WHEN mtl < {QF_MEAN_TOK_MIN} THEN 'short_tokens'
+             WHEN mtl > {QF_MEAN_TOK_MAX} THEN 'long_tokens'
+             WHEN punct > {QF_MAX_PUNCT} THEN 'punct_heavy'
+             WHEN stop < {QF_MIN_STOPWORD} THEN 'low_stopword'
+             ELSE 'pass' END AS fail_reason
+      FROM f)
+SELECT doc_id, fail_reason,
+       CAST(CASE WHEN fail_reason = 'pass' THEN 1 ELSE 0 END AS BIGINT) AS passed
+FROM r
+""",
+        "domain_quota_sample": f"""
+WITH c AS (SELECT lang, count(*) AS n_dom FROM documents GROUP BY lang),
+r AS (SELECT lang, CAST(least(10000, {10000 * QUOTA_K} // n_dom) AS BIGINT) AS rate_bp FROM c)
+SELECT d.doc_id, d.lang, r.rate_bp
+FROM documents d JOIN r USING (lang)
+WHERE {_h60_sql("'quota:' || CAST(doc_id AS VARCHAR)")} % 10000 < r.rate_bp
+""",
         "repetition_scores": f"""
 WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
 g AS (SELECT doc_id, toks,
@@ -2249,6 +2353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hapax_counts": _q_hapax_counts,
         "paragraph_dedup": _q_paragraph_dedup,
         "stratified_sample": _q_stratified_sample,
+        "quality_filter_chain": _q_quality_filter_chain,
+        "domain_quota_sample": _q_domain_quota_sample,
         "repetition_scores": _q_repetition_scores,
         "tiered_incremental_dedup": _q_tiered_incremental_dedup,
         "bloom_prefilter": _q_bloom_prefilter,

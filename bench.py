@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "semdedup_prune",
     "paragraph_dedup",
     "stratified_sample",
+    "quality_filter_chain",
+    "domain_quota_sample",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",

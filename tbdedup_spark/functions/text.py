@@ -204,6 +204,49 @@ def quality_features(col: str) -> dict[str, Column]:
     }
 
 
+def quality_filter_reason(
+    col: str,
+    *,
+    min_tokens: int,
+    max_tokens: int,
+    min_mean_tok: float,
+    max_mean_tok: float,
+    max_punct: float,
+    min_stopword: float,
+) -> Column:
+    """Gopher/C4-style quality filter CHAIN: the ordered rule list every LLM
+    data pipeline applies before training (Rae et al. 2021 Table A1; Raffel
+    et al. 2020 §2.2 — both public), expressed as ONE first-fail CASE over
+    the ``quality_features`` columns so a rejected document carries an
+    auditable reason code instead of silently vanishing.
+
+    Rule order is part of the contract (first failing rule wins):
+    too_short -> too_long -> short_tokens -> long_tokens -> punct_heavy ->
+    low_stopword -> 'pass'. All predicates compare the 6-dp-rounded features
+    (the same rounding ``quality_scores`` hash-matches the DuckDB oracle on),
+    so both engines take identical branches.
+
+    Reference analog: the planner's include/exclude predicate chain
+    (/root/reference/tbdedup/planner/plan.py:96-102) generalized from regex
+    match to feature thresholds. Scale shape: a single whole-stage-codegen
+    projection over the scan — zero shuffles, zero Python, pure map at
+    10^12 docs."""
+    feats = quality_features(col)
+    n_tok = feats["n_tokens"]
+    mtl = F.round(feats["mean_token_len"], 6)
+    punct = F.round(feats["punct_ratio"], 6)
+    stop = F.round(feats["stopword_ratio"], 6)
+    return (
+        F.when(n_tok < min_tokens, "too_short")
+        .when(n_tok > max_tokens, "too_long")
+        .when(mtl < min_mean_tok, "short_tokens")
+        .when(mtl > max_mean_tok, "long_tokens")
+        .when(punct > max_punct, "punct_heavy")
+        .when(stop < min_stopword, "low_stopword")
+        .otherwise("pass")
+    )
+
+
 def lang_id_heuristic(col: str) -> Column:
     """Deterministic n-gram-frequency language guess (en/de/es/fr/other).
 

@@ -467,3 +467,74 @@ def test_dihedral_neardup_recovers_rotations_plain_phash_blind(spark):
         for r in blind.collect()
     }
     assert not (plain_found & planted), plain_found & planted
+
+
+# --- quality filter chain + domain quota --------------------------------------
+
+
+def test_quality_filter_chain_rule_order(spark):
+    """Every rule fires on a crafted row, and rule ORDER is the contract:
+    rows violating two rules must report the EARLIER one (the sf0.01 oracle
+    corpus only exercises too_short/low_stopword/pass, so this covers the
+    rest of the chain)."""
+    import __spark_entry__ as M
+    from tbdedup_spark.functions import text as T
+
+    rows = [
+        (0, "one two three"),  # 3 tokens -> too_short
+        # 2001 tokens AND mtl=1: too_long must win over short_tokens
+        (1, "a " * 2001),
+        (2, "b c d e f g h j k l m n p q r s"),  # mtl=1 -> short_tokens
+        (3, "abcdefghijkl " * 16),  # mtl=12 -> long_tokens (before low_stopword)
+        (4, "ab!?cd " * 16),  # punct 2/6 per token -> punct_heavy (before low_stopword)
+        (5, "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa"),  # 0 stopwords -> low_stopword
+        (6, "the alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar"),  # 1/16 stopwords -> pass
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    reason = T.quality_filter_reason(
+        "text",
+        min_tokens=M.QF_MIN_TOKENS,
+        max_tokens=M.QF_MAX_TOKENS,
+        min_mean_tok=M.QF_MEAN_TOK_MIN,
+        max_mean_tok=M.QF_MEAN_TOK_MAX,
+        max_punct=M.QF_MAX_PUNCT,
+        min_stopword=M.QF_MIN_STOPWORD,
+    )
+    got = {r["doc_id"]: r["r"] for r in df.select("doc_id", reason.alias("r")).collect()}
+    assert got == {
+        0: "too_short",
+        1: "too_long",
+        2: "short_tokens",
+        3: "long_tokens",
+        4: "punct_heavy",
+        5: "low_stopword",
+        6: "pass",
+    }, got
+
+
+def test_domain_quota_sample_invariants(spark, tmp_path):
+    """Data-dependent quota: a cold domain (count <= K) passes untouched
+    (rate_bp = 10000), a hot domain is downsampled toward K in expectation,
+    and the keep decision is a deterministic hash predicate (two runs agree
+    row-for-row)."""
+    import __spark_entry__ as M
+
+    rows = [(i, "hot") for i in range(400)] + [(1000 + i, "cold") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    sf_dir = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    out1 = M.queries()["domain_quota_sample"](spark, sf_dir).collect()
+    out2 = M.queries()["domain_quota_sample"](spark, sf_dir).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+    by_lang = {}
+    for r in out1:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang["cold"]) == 5
+    assert all(r["rate_bp"] == 10000 for r in by_lang["cold"])
+    # hot: rate_bp = 10000*100 div 400 = 2500 -> ~100 of 400 kept
+    assert all(r["rate_bp"] == 2500 for r in by_lang["hot"])
+    assert 60 <= len(by_lang["hot"]) <= 140, len(by_lang["hot"])
