@@ -94,6 +94,8 @@ QF_MEAN_TOK_MAX = 10.0  # functions/text.py:quality_filter_reason)
 QF_MAX_PUNCT = 0.2
 QF_MIN_STOPWORD = 0.04
 QUOTA_K = 100        # per-domain quota: expected docs kept per hot domain
+PACK_SEQ_LEN = 512   # sequence packing: tokens per training sequence
+PACK_SHARDS = 8      # independent packing streams (data-parallel readers)
 SEED = 42
 P = text.MERSENNE_P
 COEF = text.perm_coeffs(N_PERM, SEED)
@@ -703,6 +705,64 @@ def _q_domain_quota_sample(spark, sf_dir):
         d.join(F.broadcast(rates), "lang")
         .filter((h % 10000) < F.col("rate_bp"))
         .select("doc_id", "lang", "rate_bp")
+    )
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Sequence-packing manifest — the step that turns a deduped, filtered
+    corpus into fixed-length training sequences (concat-and-chunk: documents
+    are laid end-to-end in a deterministic order and cut into PACK_SEQ_LEN-
+    token blocks — the standard pretraining layout, e.g. Brown et al. 2020
+    §2.3's document packing; public). For every non-empty document the
+    manifest states WHERE its tokens land: packing stream (``shard``),
+    token offset within the stream (``start_off``), first/last sequence ids
+    (``seq_first``/``seq_last``), and whether it straddles a sequence
+    boundary (``straddles`` — the fraction a loss-masking policy cares
+    about). A trainer can consume the manifest without ever re-scanning
+    text.
+
+    Scale shape: the corpus is split into PACK_SHARDS independent packing
+    streams by a deterministic hash (at 10^12 docs you size the shard count
+    to the trainer's data-parallel width — each reader owns one stream), so
+    the ONLY shuffle is the hash partition by shard, and the per-stream
+    ordered cumulative sum is one sorted pass over 16-byte rows
+    ((hash, n_tokens) pairs — the text column is projected away at the
+    scan, bodies never shuffle). No global sort, no global window: a
+    stream's cumsum never sees another stream's rows. The within-stream
+    order is (hash, doc_id) — i.e. a deterministic pseudo-random
+    permutation, which doubles as the epoch-shuffle every training run
+    needs (reproducible across engines, runs, and partitionings, unlike
+    df.sample/orderBy(rand())).
+
+    Reference analog: the dedup writer streaming deduped messages
+    sequentially into one output mbox in deterministic first-seen order
+    (/root/reference/tbdedup/dedup/__init__.py:140-157) — generalized to
+    N parallel output streams cut into fixed-token blocks."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", text.token_count("text").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    h = text.hash60(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
+    d = d.withColumn("_h", h).withColumn("shard", (F.col("_h") % PACK_SHARDS))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select(
+        "doc_id", "shard", "n_tokens", F.sum("n_tokens").over(w).alias("end_off")
+    )
+    L = PACK_SEQ_LEN
+    return c.selectExpr(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "end_off - n_tokens AS start_off",
+        f"(end_off - n_tokens) div {L} AS seq_first",
+        f"(end_off - 1) div {L} AS seq_last",
+        f"CAST(CASE WHEN (end_off - 1) div {L} > (end_off - n_tokens) div {L} "
+        "THEN 1 ELSE 0 END AS BIGINT) AS straddles",
     )
 
 
@@ -2022,6 +2082,28 @@ SELECT d.doc_id, d.lang, r.rate_bp
 FROM documents d JOIN r USING (lang)
 WHERE {_h60_sql("'quota:' || CAST(doc_id AS VARCHAR)")} % 10000 < r.rate_bp
 """,
+        "pack_sequences": f"""
+WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+d AS (SELECT doc_id,
+        CAST(CASE WHEN length(norm) = 0 THEN 0
+                  ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_tokens
+      FROM n),
+s AS (SELECT doc_id, n_tokens,
+        {_h60_sql("'pack:' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM d WHERE n_tokens > 0),
+c AS (SELECT doc_id, h % {PACK_SHARDS} AS shard, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY h % {PACK_SHARDS}
+             ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+      FROM s)
+SELECT doc_id, shard, n_tokens,
+       end_off - n_tokens AS start_off,
+       (end_off - n_tokens) // {PACK_SEQ_LEN} AS seq_first,
+       (end_off - 1) // {PACK_SEQ_LEN} AS seq_last,
+       CAST(CASE WHEN (end_off - 1) // {PACK_SEQ_LEN}
+                    > (end_off - n_tokens) // {PACK_SEQ_LEN}
+            THEN 1 ELSE 0 END AS BIGINT) AS straddles
+FROM c
+""",
         "repetition_scores": f"""
 WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
 g AS (SELECT doc_id, toks,
@@ -2355,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "quality_filter_chain": _q_quality_filter_chain,
         "domain_quota_sample": _q_domain_quota_sample,
+        "pack_sequences": _q_pack_sequences,
         "repetition_scores": _q_repetition_scores,
         "tiered_incremental_dedup": _q_tiered_incremental_dedup,
         "bloom_prefilter": _q_bloom_prefilter,

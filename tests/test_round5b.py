@@ -538,3 +538,52 @@ def test_domain_quota_sample_invariants(spark, tmp_path):
     # hot: rate_bp = 10000*100 div 400 = 2500 -> ~100 of 400 kept
     assert all(r["rate_bp"] == 2500 for r in by_lang["hot"])
     assert 60 <= len(by_lang["hot"]) <= 140, len(by_lang["hot"])
+
+
+def test_pack_sequences_matches_python_recomputation(spark, tmp_path):
+    """Concat-and-chunk packing manifest vs a full single-node recomputation:
+    same shard assignment (md5-based hash), same within-stream order
+    ((hash, doc_id)), same offsets / sequence ids / straddle flags — and the
+    planted corpus is big enough that boundary straddles actually occur."""
+    import hashlib
+
+    import __spark_entry__ as M
+
+    n_docs, toks = 50, [20, 100, 512, 513, 7]  # mixed sizes incl. == and > L
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(toks[i % len(toks)])))
+        for i in range(n_docs)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{sf_dir}/documents.parquet")
+
+    out1 = sorted(map(tuple, M.queries()["pack_sequences"](spark, sf_dir).collect()))
+    out2 = sorted(map(tuple, M.queries()["pack_sequences"](spark, sf_dir).collect()))
+    assert out1 == out2  # deterministic across runs/partitionings
+
+    h60 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    L, S = M.PACK_SEQ_LEN, M.PACK_SHARDS
+    docs = [(i, toks[i % len(toks)], h60(f"pack:{i}")) for i in range(n_docs)]
+    expected = []
+    for shard in range(S):
+        off = 0
+        for doc_id, n, h in sorted(
+            (d for d in docs if d[2] % S == shard), key=lambda d: (d[2], d[0])
+        ):
+            expected.append(
+                (
+                    doc_id,
+                    shard,
+                    n,
+                    off,
+                    off // L,
+                    (off + n - 1) // L,
+                    1 if (off + n - 1) // L > off // L else 0,
+                )
+            )
+            off += n
+    assert out1 == sorted(expected)
+    assert any(r[6] == 1 for r in out1)  # boundary straddles exercised
+    assert any(r[2] > L for r in out1)  # a doc longer than one sequence
