@@ -96,6 +96,7 @@ QF_MIN_STOPWORD = 0.04
 QUOTA_K = 100        # per-domain quota: expected docs kept per hot domain
 PACK_SEQ_LEN = 512   # sequence packing: tokens per training sequence
 PACK_SHARDS = 8      # independent packing streams (data-parallel readers)
+VALID_BP = 1000      # leakage-safe split: basis points routed to validation
 SEED = 42
 P = text.MERSENNE_P
 COEF = text.perm_coeffs(N_PERM, SEED)
@@ -231,6 +232,38 @@ def _q_clusters(spark, sf_dir):
         .dropDuplicates(["a_id", "b_id"])
     )
     return unionfind.connected_components(d.select("doc_id"), edges, id_col="doc_id")
+
+
+def _q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/validation split — route documents by the hash of
+    their NEAR-DUP CLUSTER id, not their own id, so no near-duplicate pair
+    can straddle the split (the standard eval-contamination failure of
+    doc-hash splits: the val copy of a near-dup leaks its train twin's
+    content; cf. the decontamination queries, which handle the cross-corpus
+    case). Same-split-per-cluster is STRUCTURAL here — split is a function
+    of cluster_id — so the guarantee needs no verification pass at 10^12
+    rows.
+
+    Plan: the flagship dedup_clusters subtree (concurrent detectors →
+    union-find) plus ONE codegen projection — the split decision adds zero
+    shuffles, zero Python. The hash predicate (not df.randomSplit) keeps
+    the split reproducible across engines, runs, and partitionings, and
+    membership is decidable per-row from cluster_id alone (a new corpus
+    snapshot re-splits consistently for unchanged clusters).
+
+    Reference analog: the dedup writer routing all messages of one
+    signature group to one output artifact
+    (/root/reference/tbdedup/dedup/__init__.py:140-157) — the group, not
+    the message, decides the destination."""
+    cl = _q_clusters(spark, sf_dir)
+    h = text.hash60(F.concat(F.lit("split:"), F.col("cluster_id").cast("string")))
+    return cl.select(
+        "doc_id",
+        "cluster_id",
+        F.when(h % 10000 < VALID_BP, F.lit("valid"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -1874,6 +1907,29 @@ lbl AS (
 )
 SELECT doc_id, MIN(m) AS cluster_id FROM lbl GROUP BY doc_id
 """,
+        "leakage_safe_split": f"""
+WITH RECURSIVE {mh}, {sub},
+edges AS (
+  SELECT a_id, b_id FROM mh_pairs UNION SELECT a_id, b_id FROM sub_pairs
+),
+sym AS (SELECT a_id AS s, b_id AS t FROM edges UNION SELECT b_id, a_id FROM edges),
+reach(s, t) AS (
+  SELECT s, t FROM sym
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN sym e ON r.t = e.s
+),
+lbl AS (
+  SELECT doc_id, doc_id AS m FROM documents
+  UNION ALL
+  SELECT s AS doc_id, t AS m FROM reach
+),
+cl AS (SELECT doc_id, MIN(m) AS cluster_id FROM lbl GROUP BY doc_id)
+SELECT doc_id, cluster_id,
+       CASE WHEN {_h60_sql("'split:' || CAST(cluster_id AS VARCHAR)")} % 10000
+                 < {VALID_BP}
+            THEN 'valid' ELSE 'train' END AS split
+FROM cl
+""",
         "ngram_jaccard_pairs": f"""
 WITH d AS (SELECT doc_id, lang,
                   list_distinct(string_split({_NORM}, ' ')) AS toks
@@ -2412,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming_pairs": _q_simhash,
         "substr_containment_pairs": _q_substr,
         "dedup_clusters": _q_clusters,
+        "leakage_safe_split": _q_leakage_safe_split,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,

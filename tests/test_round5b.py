@@ -587,3 +587,46 @@ def test_pack_sequences_matches_python_recomputation(spark, tmp_path):
     assert out1 == sorted(expected)
     assert any(r[6] == 1 for r in out1)  # boundary straddles exercised
     assert any(r[2] > L for r in out1)  # a doc longer than one sequence
+
+
+def test_leakage_safe_split_keeps_neardup_pairs_together(spark, tmp_path):
+    """Plant 60 near-dup pairs (one-character edit per twin). The cluster-keyed
+    split must (a) cluster the twins, (b) never route a twin pair to opposite
+    splits, while (c) the naive doc-hash split provably WOULD leak on this
+    exact corpus (computed independently with hashlib) — the defect the
+    operator exists to prevent."""
+    import hashlib
+
+    import __spark_entry__ as M
+
+    base = (
+        "pair{i} alpha{i} document about the engine with many shared tokens "
+        "beta{i} gamma{i} delta{i} epsilon{i} zeta{i} eta{i} theta{i} "
+        "iota{i} kappa{i} lam{i} mu{i} nu{i} xi{i} omicron{i} pi{i} rho{i}"
+    )
+    rows = []
+    for i in range(60):
+        t = base.format(i=i)
+        rows.append((i, t))
+        rows.append((1000 + i, t.replace("alpha", "alphb")))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{sf_dir}/documents.parquet")
+
+    out = M.queries()["leakage_safe_split"](spark, sf_dir).collect()
+    split = {r["doc_id"]: r["split"] for r in out}
+    cluster = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert len(out) == 120
+
+    paired = [i for i in range(60) if cluster[i] == cluster[1000 + i]]
+    assert len(paired) >= 55  # detector recall on the planted twins
+    # the guarantee: no clustered twin pair straddles the split
+    assert all(split[i] == split[1000 + i] for i in paired)
+    # both destinations are actually populated on this corpus
+    assert {split[d] for d in split} == {"train", "valid"}
+
+    # counterfactual: a doc-hash split WOULD separate at least one twin pair
+    h60 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    naive = lambda d: h60(f"split:{d}") % 10000 < M.VALID_BP
+    assert any(naive(i) != naive(1000 + i) for i in paired)
