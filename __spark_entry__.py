@@ -97,6 +97,11 @@ QUOTA_K = 100        # per-domain quota: expected docs kept per hot domain
 PACK_SEQ_LEN = 512   # sequence packing: tokens per training sequence
 PACK_SHARDS = 8      # independent packing streams (data-parallel readers)
 VALID_BP = 1000      # leakage-safe split: basis points routed to validation
+MIX_SHARDS = 8       # token-budget mix: shards of the two-phase prefix sum
+MIX_BUDGET = {       # token-budget mix: per-language token budgets
+    "en": 10000, "zh": 6000, "es": 6000,
+}
+MIX_BUDGET_DEFAULT = 4000
 SEED = 42
 P = text.MERSENNE_P
 COEF = text.perm_coeffs(N_PERM, SEED)
@@ -796,6 +801,74 @@ def _q_pack_sequences(spark, sf_dir):
         f"(end_off - 1) div {L} AS seq_last",
         f"CAST(CASE WHEN (end_off - 1) div {L} > (end_off - n_tokens) div {L} "
         "THEN 1 ELSE 0 END AS BIGINT) AS straddles",
+    )
+
+
+def _q_token_budget_mix(spark, sf_dir):
+    """Token-budget data mixing — fill each language's token budget in a
+    deterministic pseudo-random order and stop exactly at the budget: the
+    step that turns per-source weights (e.g. 30% code, 5% books) into an
+    actual document manifest. Keep rule: a doc survives iff the running
+    token total of its language, taken in (shard, hash, doc_id) order, is
+    still <= MIX_BUDGET[lang] INCLUDING the doc itself — prefix truncation,
+    not knapsack: the cut is order-stable, so the kept set is reproducible
+    and only ever shrinks-from-the-tail when the budget tightens.
+
+    Scale shape — the two-phase distributed prefix sum: a naive per-lang
+    running total is a single-task window over 10^11 rows of one hot
+    language. Instead (1) each (lang, shard) partition computes a LOCAL
+    ordered cumsum (bounded by corpus/shards, one sorted pass over 16-byte
+    rows); (2) the per-shard token totals — a |langs| x MIX_SHARDS relation,
+    tiny — get an exclusive scan per lang and are BROADCAST back as shard
+    base offsets; local + offset = the exact global prefix sum, bit-equal
+    to the single-pass result by associativity. No task ever sees a whole
+    language; text is projected away at the scan.
+
+    Reference analog: the size-capped output splitting of the reference's
+    ordered writer (one artifact closes when full, deterministically —
+    /root/reference/tbdedup/dedup/__init__.py:140-157), lifted to
+    per-source token accounting."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", text.token_count("text").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    h = text.hash60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    d = d.withColumn("_h", h).withColumn("_shard", F.col("_h") % MIX_SHARDS)
+    w_local = (
+        Window.partitionBy("lang", "_shard")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("_loc", F.sum("n_tokens").over(w_local))
+    # phase 2: exclusive scan over the tiny (lang, shard) totals relation
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        d.groupBy("lang", "_shard")
+        .agg(F.sum("n_tokens").alias("_tot"))
+        .select(
+            "lang", "_shard",
+            F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off"),
+        )
+    )
+    budget = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in sorted(MIX_BUDGET.items()) for x in kv]
+            ),
+            F.col("lang"),
+        ),
+        F.lit(MIX_BUDGET_DEFAULT),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["lang", "_shard"])
+        .withColumn("end_off", (F.col("_loc") + F.col("_off")).cast("long"))
+        .filter(F.col("end_off") <= budget)
+        .select("doc_id", "lang", "n_tokens", "end_off")
     )
 
 
@@ -2160,6 +2233,25 @@ SELECT doc_id, shard, n_tokens,
             THEN 1 ELSE 0 END AS BIGINT) AS straddles
 FROM c
 """,
+        "token_budget_mix": f"""
+WITH n AS (SELECT doc_id, lang, {_NORM} AS norm FROM documents),
+d AS (SELECT doc_id, lang,
+        CAST(CASE WHEN length(norm) = 0 THEN 0
+                  ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_tokens
+      FROM n),
+s AS (SELECT doc_id, lang, n_tokens,
+        {_h60_sql("'mix:' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM d WHERE n_tokens > 0),
+c AS (SELECT doc_id, lang, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY lang
+             ORDER BY h % {MIX_SHARDS}, h, doc_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+      FROM s)
+SELECT doc_id, lang, n_tokens, end_off
+FROM c
+WHERE end_off <= (CASE {' '.join(f"WHEN lang = '{lg}' THEN {b}" for lg, b in sorted(MIX_BUDGET.items()))}
+                  ELSE {MIX_BUDGET_DEFAULT} END)
+""",
         "repetition_scores": f"""
 WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
 g AS (SELECT doc_id, toks,
@@ -2495,6 +2587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter_chain": _q_quality_filter_chain,
         "domain_quota_sample": _q_domain_quota_sample,
         "pack_sequences": _q_pack_sequences,
+        "token_budget_mix": _q_token_budget_mix,
         "repetition_scores": _q_repetition_scores,
         "tiered_incremental_dedup": _q_tiered_incremental_dedup,
         "bloom_prefilter": _q_bloom_prefilter,

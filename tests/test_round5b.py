@@ -630,3 +630,50 @@ def test_leakage_safe_split_keeps_neardup_pairs_together(spark, tmp_path):
     h60 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
     naive = lambda d: h60(f"split:{d}") % 10000 < M.VALID_BP
     assert any(naive(i) != naive(1000 + i) for i in paired)
+
+
+def test_token_budget_mix_matches_single_pass_recomputation(spark, tmp_path):
+    """The two-phase distributed prefix sum (per-(lang,shard) local cumsum +
+    broadcast exclusive-scan shard offsets) must equal a single-pass
+    recomputation exactly, enforce prefix-truncation at the budget boundary
+    (the overflowing doc is dropped even if a later smaller doc would fit),
+    and be deterministic."""
+    import hashlib
+
+    import __spark_entry__ as M
+
+    # 'en' gets many 300-token docs -> its 10000 budget binds mid-corpus;
+    # 'fr' gets 3 small docs -> default budget never binds.
+    rows = [(i, " ".join(f"w{j}" for j in range(300))) for i in range(60)]
+    rows += [(500 + i, " ".join(f"v{j}" for j in range(50))) for i in range(3)]
+    langs = ["en"] * 60 + ["fr"] * 3
+    df = spark.createDataFrame(
+        [(d, t, lg) for (d, t), lg in zip(rows, langs)],
+        "doc_id long, text string, lang string",
+    )
+    sf_dir = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    out1 = sorted(map(tuple, M.queries()["token_budget_mix"](spark, sf_dir).collect()))
+    out2 = sorted(map(tuple, M.queries()["token_budget_mix"](spark, sf_dir).collect()))
+    assert out1 == out2
+
+    h60 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    S = M.MIX_SHARDS
+    expected = []
+    for lg, ids, n in (("en", range(60), 300), ("fr", range(500, 503), 50)):
+        budget = M.MIX_BUDGET.get(lg, M.MIX_BUDGET_DEFAULT)
+        acc = 0
+        for doc_id, h in sorted(
+            ((d, h60(f"mix:{d}")) for d in ids), key=lambda x: (x[1] % S, x[1], x[0])
+        ):
+            acc += n
+            if acc <= budget:
+                expected.append((doc_id, lg, n, acc))
+    assert out1 == sorted(expected)
+
+    en = [r for r in out1 if r[1] == "en"]
+    fr = [r for r in out1 if r[1] == "fr"]
+    assert len(en) == 33  # 33 * 300 = 9900 <= 10000 < 34 * 300: budget binds
+    assert len(fr) == 3  # corpus exhausted before the default budget
+    assert max(r[3] for r in en) == 9900
