@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "stratified_sample",
     "quality_filter_chain",
     "domain_quota_sample",
+    "pack_sequences",
+    "token_budget_mix",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",
