@@ -102,6 +102,15 @@ MIX_BUDGET = {       # token-budget mix: per-language token budgets
     "en": 10000, "zh": 6000, "es": 6000,
 }
 MIX_BUDGET_DEFAULT = 4000
+CM_D = 4             # count-min sketch: hash rows
+CM_W = 16            # count-min sketch: counters per row — DELIBERATELY tight
+# for the synthetic corpus's 31-token vocabulary (production sizing is
+# w = ceil(e/eps)): with ~2 tokens/bucket per row, some rows collide and
+# some don't, so at sf0.01 the probed top-20 shows BOTH exact estimates
+# and positive overcounts — the min-over-rows algebra is exercised on
+# non-trivial data rather than comparing equal columns (same philosophy
+# as BLOOM_BPK's ~16% FP rate)
+CM_TOPK = 20         # heavy hitters probed against ground truth
 SEED = 42
 P = text.MERSENNE_P
 COEF = text.perm_coeffs(N_PERM, SEED)
@@ -869,6 +878,70 @@ def _q_token_budget_mix(spark, sf_dir):
         .withColumn("end_off", (F.col("_loc") + F.col("_off")).cast("long"))
         .filter(F.col("end_off") <= budget)
         .select("doc_id", "lang", "n_tokens", "end_off")
+    )
+
+
+def _q_countmin_heavy_hitters(spark, sf_dir):
+    """Count-min sketch heavy-hitter estimation (Cormode & Muthukrishnan
+    2005, public) — the frequency complement of ``bloom_prefilter``'s
+    membership index: a CM_D x CM_W counter matrix over the token stream
+    whose per-token estimate is min over rows of the collided counter.
+    The sketch is MERGEABLE (CMS union = elementwise sum — across shards,
+    days, or corpora, like the Bloom bitmap's bit_or), and its build is
+    the ideal map shape: one pass over the stream with bounded (d x w)
+    state per task — map-side combine collapses every partition to
+    <= CM_D*CM_W rows before the only shuffle, so at 10^12 tokens the
+    exchanged bytes are CONSTANT in corpus size.
+
+    The contract query also carries ground truth (an exact token groupBy —
+    affordable at oracle scale, and the point of the comparison): output =
+    the true top-CM_TOPK tokens with true count, sketch estimate, and
+    overcount. ``est_cnt >= true_cnt`` ALWAYS (CMS never underestimates) —
+    that one-sided-error algebra is visible in the compared columns, and
+    CM_W is deliberately tight for the synthetic 31-token vocabulary (see
+    the constant's comment) so the probed top-20 shows both exact
+    estimates and positive overcounts at sf0.01. Production uses the
+    sketch relation alone; truth exists here to make the estimator
+    oracle-checkable.
+
+    Reference analog: buildSummary's per-hash message-count map
+    (/root/reference/tbdedup/dedup/__init__.py:180-210), with bounded
+    memory instead of one dict entry per distinct key."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(text.norm_text("text"), " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+    rows = [
+        F.struct(
+            F.lit(d).alias("d"),
+            (text.hash60(F.concat(F.lit(f"cm{d}:"), F.col("tok"))) % CM_W).alias("b"),
+        )
+        for d in range(CM_D)
+    ]
+    sketch = (
+        toks.select(F.explode(F.array(*rows)).alias("s"))
+        .select("s.d", "s.b")
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    top = truth.orderBy(F.desc("true_cnt"), "tok").limit(CM_TOPK)
+    probe = top.select(
+        "tok",
+        "true_cnt",
+        F.explode(F.array(*rows)).alias("s"),
+    ).select("tok", "true_cnt", "s.d", "s.b")
+    return (
+        probe.join(F.broadcast(sketch), ["d", "b"])
+        .groupBy("tok", "true_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .select(
+            "tok",
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("true_cnt")).alias("overcount"),
+        )
     )
 
 
@@ -2252,6 +2325,24 @@ FROM c
 WHERE end_off <= (CASE {' '.join(f"WHEN lang = '{lg}' THEN {b}" for lg, b in sorted(MIX_BUDGET.items()))}
                   ELSE {MIX_BUDGET_DEFAULT} END)
 """,
+        "countmin_heavy_hitters": f"""
+WITH t AS (SELECT unnest(string_split({_NORM}, ' ')) AS tok FROM documents),
+tk AS (SELECT tok FROM t WHERE length(tok) > 0),
+buck AS (SELECT g.d,
+           {_h60_sql("'cm' || CAST(g.d AS VARCHAR) || ':' || tok")} % {CM_W} AS b
+         FROM tk CROSS JOIN range(0, {CM_D}) g(d)),
+sketch AS (SELECT d, b, CAST(count(*) AS BIGINT) AS cnt FROM buck GROUP BY d, b),
+truth AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt FROM tk GROUP BY tok),
+top AS (SELECT tok, true_cnt FROM truth ORDER BY true_cnt DESC, tok LIMIT {CM_TOPK}),
+pb AS (SELECT tok, true_cnt, g.d,
+         {_h60_sql("'cm' || CAST(g.d AS VARCHAR) || ':' || tok")} % {CM_W} AS b
+       FROM top CROSS JOIN range(0, {CM_D}) g(d)),
+est AS (SELECT tok, true_cnt, min(cnt) AS est_cnt
+        FROM pb JOIN sketch USING (d, b) GROUP BY tok, true_cnt)
+SELECT tok, true_cnt, CAST(est_cnt AS BIGINT) AS est_cnt,
+       CAST(est_cnt - true_cnt AS BIGINT) AS overcount
+FROM est
+""",
         "repetition_scores": f"""
 WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
 g AS (SELECT doc_id, toks,
@@ -2588,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quota_sample": _q_domain_quota_sample,
         "pack_sequences": _q_pack_sequences,
         "token_budget_mix": _q_token_budget_mix,
+        "countmin_heavy_hitters": _q_countmin_heavy_hitters,
         "repetition_scores": _q_repetition_scores,
         "tiered_incremental_dedup": _q_tiered_incremental_dedup,
         "bloom_prefilter": _q_bloom_prefilter,

@@ -677,3 +677,57 @@ def test_token_budget_mix_matches_single_pass_recomputation(spark, tmp_path):
     assert len(en) == 33  # 33 * 300 = 9900 <= 10000 < 34 * 300: budget binds
     assert len(fr) == 3  # corpus exhausted before the default budget
     assert max(r[3] for r in en) == 9900
+
+
+def test_countmin_matches_python_recomputation_and_merges(spark, tmp_path):
+    """Full single-node recomputation of the CM_D x CM_W sketch and the
+    min-over-rows estimates; the one-sided error bound (never underestimate);
+    and mergeability: the sketch of corpus A+B equals the elementwise sum of
+    the sketches of A and B (the property that makes the index shippable
+    across shards/days)."""
+    import collections
+    import hashlib
+
+    import __spark_entry__ as M
+
+    # 26 token types, zipf-ish multiplicities, split into two "days"
+    toks_a = [f"t{i}" for i in range(26) for _ in range(26 - i)]
+    toks_b = [f"t{i}" for i in range(0, 26, 2) for _ in range(10)]
+    mk = lambda toks, base: [(base + j, " ".join(toks[j::7])) for j in range(7)]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        mk(toks_a, 0) + mk(toks_b, 100), "doc_id long, text string"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    out = M.queries()["countmin_heavy_hitters"](spark, sf_dir).collect()
+    assert len(out) == M.CM_TOPK
+
+    h60 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def py_sketch(tokens):
+        sk = collections.Counter()
+        for t in tokens:
+            for d in range(M.CM_D):
+                sk[(d, h60(f"cm{d}:{t}") % M.CM_W)] += 1
+        return sk
+
+    # the parquet round-trips the same token stream the query sees
+    stream = [t for j in range(7) for t in toks_a[j::7]]
+    stream += [t for j in range(7) for t in toks_b[j::7]]
+    sk = py_sketch(stream)
+    truth = collections.Counter(stream)
+
+    for r in out:
+        est = min(sk[(d, h60(f"cm{d}:{r['tok']}") % M.CM_W)] for d in range(M.CM_D))
+        assert r["est_cnt"] == est
+        assert r["true_cnt"] == truth[r["tok"]]
+        assert r["overcount"] == est - truth[r["tok"]] >= 0
+
+    # top-k selection is the true total order (count desc, token)
+    expect_top = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[: M.CM_TOPK]
+    assert sorted(r["tok"] for r in out) == sorted(t for t, _ in expect_top)
+
+    # mergeability: sketch(A + B) == sketch(A) + sketch(B), elementwise
+    sa = py_sketch([t for j in range(7) for t in toks_a[j::7]])
+    sb = py_sketch([t for j in range(7) for t in toks_b[j::7]])
+    assert sk == sa + sb
