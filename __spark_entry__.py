@@ -111,6 +111,8 @@ CM_W = 16            # count-min sketch: counters per row — DELIBERATELY tight
 # non-trivial data rather than comparing equal columns (same philosophy
 # as BLOOM_BPK's ~16% FP rate)
 CM_TOPK = 20         # heavy hitters probed against ground truth
+KMV_K = 64           # bottom-k distinct sketch: retained minimum hashes
+KMV_MAX = 1 << 60    # hash60's range — the estimator's normalizing constant
 SEED = 42
 P = text.MERSENNE_P
 COEF = text.perm_coeffs(N_PERM, SEED)
@@ -942,6 +944,72 @@ def _q_countmin_heavy_hitters(spark, sf_dir):
             "est_cnt",
             (F.col("est_cnt") - F.col("true_cnt")).alias("overcount"),
         )
+    )
+
+
+def _q_kmv_distinct_sketch(spark, sf_dir):
+    """KMV bottom-k distinct sketch (Bar-Yossef et al. 2002; Beyer et al.
+    2007 — public) — the cardinality member of the mergeable-index trilogy
+    (Bloom = membership, count-min = frequency): per language, keep the
+    KMV_K smallest distinct hash values of the normalized document text;
+    estimate distinct docs as (k-1) * 2^60 / h_k when the group has >= k
+    distinct values, exactly the retained count otherwise. Unlike HLL the
+    whole algebra is deterministic integer/float arithmetic both engines
+    state identically, so the ESTIMATOR itself is oracle-checked — and the
+    sketch merges by keeping the k smallest of a union (the same
+    min-survives rule, shippable across shards/days). This is the dedup
+    planner's question — "how many unique documents per source?" — at
+    bounded memory.
+
+    Scale shape — the same two-phase decomposition as token_budget_mix:
+    a naive per-lang ranking is one hot-language task. Instead phase 1
+    takes each (lang, hash-shard)'s k smallest (bounded window), leaving
+    <= k * MIX_SHARDS candidate rows per language — tiny — and phase 2
+    ranks only those (the global k smallest are a subset of the per-shard
+    k smallest, so the result is bit-equal to the single-pass ranking the
+    oracle states). ``true_distinct`` is carried for the oracle-scale
+    comparison only; production ships the sketch alone — at 10^12 rows
+    the exact per-group distinct is precisely what you cannot afford.
+
+    Reference analog: buildSummary's unique-hash counting
+    (/root/reference/tbdedup/dedup/__init__.py:180-210), at bounded
+    memory per group."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            text.hash60(
+                F.concat(F.lit("kmv:"), text.norm_text("text"))
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    w1 = (
+        Window.partitionBy("lang", F.col("h") % MIX_SHARDS).orderBy("h")
+    )
+    cand = (
+        d.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= KMV_K)
+        .drop("_r")
+    )
+    w2 = Window.partitionBy("lang").orderBy("h")
+    hk = (
+        cand.withColumn("_r", F.row_number().over(w2))
+        .filter(F.col("_r") == KMV_K)
+        .select("lang", F.col("h").alias("hk"))
+    )
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("true_distinct"))
+    return totals.join(hk, "lang", "left").select(
+        "lang",
+        "true_distinct",
+        F.when(F.col("hk").isNull(), F.col("true_distinct"))
+        .otherwise(
+            F.floor(
+                (F.lit(float(KMV_MAX)) / F.col("hk")) * F.lit(KMV_K - 1)
+            )
+        )
+        .cast("long")
+        .alias("est_distinct"),
     )
 
 
@@ -2325,6 +2393,22 @@ FROM c
 WHERE end_off <= (CASE {' '.join(f"WHEN lang = '{lg}' THEN {b}" for lg, b in sorted(MIX_BUDGET.items()))}
                   ELSE {MIX_BUDGET_DEFAULT} END)
 """,
+        "kmv_distinct_sketch": f"""
+WITH n AS (SELECT lang, {_NORM} AS norm FROM documents),
+d AS (SELECT DISTINCT lang, {_h60_sql("'kmv:' || norm")} AS h FROM n),
+rk AS (SELECT lang, h,
+         row_number() OVER (PARTITION BY lang ORDER BY h) AS r
+       FROM d),
+agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS true_distinct,
+               max(CASE WHEN r = {KMV_K} THEN h END) AS hk
+        FROM rk GROUP BY lang)
+SELECT lang, true_distinct,
+       CAST(CASE WHEN hk IS NULL THEN true_distinct
+                 ELSE CAST(floor((CAST({KMV_MAX} AS DOUBLE) / hk)
+                                 * {KMV_K - 1}) AS BIGINT)
+            END AS BIGINT) AS est_distinct
+FROM agg
+""",
         "countmin_heavy_hitters": f"""
 WITH t AS (SELECT unnest(string_split({_NORM}, ' ')) AS tok FROM documents),
 tk AS (SELECT tok FROM t WHERE length(tok) > 0),
@@ -2680,6 +2764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "token_budget_mix": _q_token_budget_mix,
         "countmin_heavy_hitters": _q_countmin_heavy_hitters,
+        "kmv_distinct_sketch": _q_kmv_distinct_sketch,
         "repetition_scores": _q_repetition_scores,
         "tiered_incremental_dedup": _q_tiered_incremental_dedup,
         "bloom_prefilter": _q_bloom_prefilter,

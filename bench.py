@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "domain_quota_sample",
     "pack_sequences",
     "token_budget_mix",
+    "countmin_heavy_hitters",
+    "kmv_distinct_sketch",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",

@@ -731,3 +731,42 @@ def test_countmin_matches_python_recomputation_and_merges(spark, tmp_path):
     sa = py_sketch([t for j in range(7) for t in toks_a[j::7]])
     sb = py_sketch([t for j in range(7) for t in toks_b[j::7]])
     assert sk == sa + sb
+
+
+def test_kmv_distinct_sketch_both_paths_and_merge(spark, tmp_path):
+    """A group with fewer than KMV_K distinct values reports the exact count;
+    a group with more gets the (k-1)*2^60/h_k estimate, recomputed
+    independently; and the bottom-k merge rule holds: bottom-k of a union ==
+    bottom-k of the concatenated per-part bottom-k's."""
+    import hashlib
+    import math
+
+    import __spark_entry__ as M
+
+    rows = [(i, f"small document number {i}", "small") for i in range(10)]
+    rows += [(100 + i, f"big corpus document number {i}", "big") for i in range(300)]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.mode(
+        "overwrite"
+    ).parquet(f"{sf_dir}/documents.parquet")
+
+    out = {r["lang"]: r for r in M.queries()["kmv_distinct_sketch"](spark, sf_dir).collect()}
+
+    h60 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    small_h = sorted({h60(f"kmv:small document number {i}") for i in range(10)})
+    big_h = sorted({h60(f"kmv:big corpus document number {i}") for i in range(300)})
+
+    # < k distinct: exact path
+    assert out["small"]["true_distinct"] == 10
+    assert out["small"]["est_distinct"] == 10
+    # >= k distinct: estimator path, recomputed with the same float algebra
+    hk = big_h[M.KMV_K - 1]
+    est = math.floor(float(M.KMV_MAX) / hk * (M.KMV_K - 1))
+    assert out["big"]["true_distinct"] == 300
+    assert out["big"]["est_distinct"] == est
+    assert abs(est - 300) / 300 < 0.5  # k=64 -> ~12.5% stderr; loose gate
+
+    # mergeability: bottom-k(A u B) == bottom-k(bottom-k(A) + bottom-k(B))
+    a, b = big_h[:200], big_h[200:]
+    merged = sorted(set(sorted(a)[: M.KMV_K] + sorted(b)[: M.KMV_K]))[: M.KMV_K]
+    assert merged == big_h[: M.KMV_K]
