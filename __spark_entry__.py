@@ -113,6 +113,14 @@ CM_W = 16            # count-min sketch: counters per row — DELIBERATELY tight
 CM_TOPK = 20         # heavy hitters probed against ground truth
 KMV_K = 64           # bottom-k distinct sketch: retained minimum hashes
 KMV_MAX = 1 << 60    # hash60's range — the estimator's normalizing constant
+ED_MAX = 16          # edit-distance dedup: Levenshtein verify threshold
+ED_Q = 12            # edit-distance dedup: anchor q-gram width
+ED_MOD = 8           # edit-distance dedup: hash60(gram) % ED_MOD == 0 sampling
+ED_CAP = 256         # edit-distance dedup: hot-anchor doc-frequency cap
+CROP_MIN_SHARED = 2  # crop near-dup: shared patch-hash threshold (planted
+# crops retain >= 3 interior keypoint patches; cross-image collisions are 0
+# on the synth corpus — tests/test_round5c.py)
+CROP_CAP = 256       # crop near-dup: hot patch-hash bucket cap
 SEED = 42
 P = text.MERSENNE_P
 COEF = text.perm_coeffs(N_PERM, SEED)
@@ -1371,6 +1379,54 @@ def _q_dihedral_neardup(spark, sf_dir):
     )
 
 
+def _q_crop_image_neardup(spark, sf_dir):
+    """Crop-resistant image near-dup — the OTHER re-upload class whole-image
+    pHash is blind to (cropping re-frames the DCT basis; dihedral hashing
+    does not help). synth plants 20 margin-cropped copies (>= half the area
+    kept) among 40 speckled bases; the detector hashes raw P x P patches
+    anchored at strict local maxima of the smoothed intensity — purely local
+    and deterministic, so every keypoint >= MARGIN px inside the crop
+    reproduces its hash EXACTLY — then pairs images sharing >=
+    CROP_MIN_SHARED hashes via a capped equality join. ORACLED like
+    audio/frames/dihedral: the landed (image_id, psig) relation lets DuckDB
+    re-derive the cap, the join, the shared-count threshold, and the
+    shared/min(n) score. Planted-recovery + whole-image-pHash blindness
+    asserted in tests/test_round5c.py. Reference analog: the canonical-
+    signature grouping generalized to many sub-image signatures per record
+    (/root/reference/tbdedup/dedup/__init__.py:140-157)."""
+    import os
+
+    from tbdedup_spark import synth
+    from tbdedup_spark.operators import multimodal
+    from tbdedup_spark.session import ensure_worker_pyfiles
+
+    ensure_worker_pyfiles(spark)  # pandas-UDF closures import the package
+    media = synth.cropped_corpus(spark, n_orig=40, n_dup=20, seed=SEED)
+    return multimodal.crop_resistant_near_dups(
+        media, min_shared=CROP_MIN_SHARED, max_bucket=CROP_CAP,
+        sigs_out_path=os.path.join(MEDIA_ORACLE_DIR, "croppatch"),
+    )
+
+
+def _q_editdist_pairs(spark, sf_dir):
+    """Edit-distance-verified near-dup pairs over ``documents``: mod-sampled
+    q-gram anchors (content-defined — any verbatim-shared region samples
+    identically on both sides) generate candidates; threshold-bounded
+    ``levenshtein`` verifies exactly. The precision rung of the dedup
+    ladder: minhash/simhash say "probably near", this says "provably within
+    ED_MAX edits". Full-pipeline DuckDB mirror (anchors, hot-gram cap,
+    length-diff bound, levenshtein) over the same parquet — no landed
+    intermediate needed, both engines have the distance built in.
+    Reference analog: the hash-then-byte-compare verify discipline
+    (/root/reference/tbdedup/dedup/__init__.py:140-157)."""
+    from tbdedup_spark.operators import editdist
+
+    return editdist.edit_distance_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        max_dist=ED_MAX, q=ED_Q, sample_mod=ED_MOD, anchor_cap=ED_CAP,
+    )
+
+
 # Stable landing spot for the streaming query's per-batch signature tables:
 # the DuckDB mirror reads these files by absolute path (oracle_sql() returns
 # a static string, so the location cannot be a per-run tempdir). The Spark
@@ -2237,6 +2293,43 @@ FROM u JOIN fb USING (sig, batch) GROUP BY u.sig
             max_hamming=3,
             extra_where="AND split_part(a_id, ':', 1) != split_part(b_id, ':', 1)",
         ),
+        "crop_image_neardup": f"""
+WITH sigs AS (SELECT image_id, psig
+              FROM read_parquet('{MEDIA_ORACLE_DIR}/croppatch/*.parquet')),
+cnt AS (SELECT image_id, count(*) AS n FROM sigs GROUP BY 1),
+freq AS (SELECT psig, count(*) AS c FROM sigs GROUP BY 1),
+kept AS (SELECT s.image_id, s.psig FROM sigs s JOIN freq USING (psig)
+         WHERE c <= {CROP_CAP}),
+p AS (SELECT a.image_id AS a_id, b.image_id AS b_id, count(*) AS shared
+      FROM kept a JOIN kept b USING (psig)
+      WHERE a.image_id < b.image_id GROUP BY 1, 2)
+SELECT a_id, b_id, 'crop_patch' AS detector, CAST(shared AS INT) AS shared,
+       round(CAST(shared AS DOUBLE) / least(na.n, nb.n), 6) AS score
+FROM p JOIN cnt na ON na.image_id = p.a_id
+       JOIN cnt nb ON nb.image_id = p.b_id
+WHERE shared >= {CROP_MIN_SHARED}
+""",
+        "editdist_pairs": f"""
+WITH d AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
+nn AS (SELECT id, t, length(t) AS n FROM d WHERE length(t) >= {ED_Q}),
+g AS (SELECT id, n,
+             unnest(list_transform(generate_series(0, n - {ED_Q}),
+                                   i -> substr(t, i + 1, {ED_Q}))) AS gram
+      FROM nn),
+gh AS (SELECT id, n, {_h60_sql('gram')} AS h FROM g),
+anc AS (SELECT DISTINCT id, n, h FROM gh WHERE h % {ED_MOD} = 0),
+freq AS (SELECT h, count(*) AS df FROM anc GROUP BY 1),
+capped AS (SELECT anc.* FROM anc JOIN freq USING (h) WHERE df <= {ED_CAP}),
+cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+         FROM capped a JOIN capped b USING (h)
+         WHERE a.id < b.id AND abs(a.n - b.n) <= {ED_MAX}),
+v AS (SELECT a_id, b_id, levenshtein(ta.t, tb.t) AS dist,
+             greatest(ta.n, tb.n) AS mx
+      FROM cand JOIN nn ta ON ta.id = a_id JOIN nn tb ON tb.id = b_id)
+SELECT a_id, b_id, CAST(dist AS INT) AS edit_distance,
+       round(1.0 - CAST(dist AS DOUBLE) / mx, 6) AS score
+FROM v WHERE dist <= {ED_MAX}
+""",
         "dihedral_image_neardup": _hamming_files_sql(
             f"{MEDIA_ORACLE_DIR}/dihedral", "okey", "phash", "dihedral_phash",
             max_hamming=DIH_HAM,
@@ -2751,6 +2844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dups": _q_audio_near_dups,
         "frame_near_dups": _q_frame_near_dups,
         "dihedral_image_neardup": _q_dihedral_neardup,
+        "crop_image_neardup": _q_crop_image_neardup,
+        "editdist_pairs": _q_editdist_pairs,
         "embedding_neardup_pairs": _q_embedding_neardup,
         "embedding_neardup_capped": _q_embedding_neardup_capped,
         "ngram_topk": _q_ngram_topk,

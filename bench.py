@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "substr_containment_pairs",
     "dedup_clusters",
     "ngram_jaccard_pairs",
+    "editdist_pairs",
     "embedding_neardup_capped",
     "doc_fingerprint",
     "ngram_topk",

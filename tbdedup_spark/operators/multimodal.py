@@ -488,3 +488,180 @@ def dihedral_near_dups(
         (base(F.col("a_id")) != base(F.col("b_id")))
         & ((orient(F.col("a_id")) == "0") | (orient(F.col("b_id")) == "0"))
     )
+
+
+# --- crop-resistant image near-dup (content-anchored patch hashes) ------------
+
+CROP_PATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("psig", T.LongType()),
+    ]
+)
+
+# Detector geometry. MARGIN is the load-bearing constant: the smoothing
+# window (radius _SMOOTH) plus the strict-max window (radius _R) around a
+# keypoint spans at most _R + _SMOOTH px, and its patch spans _P/2 = 8, so
+# every value a kept keypoint's signature depends on lives within
+# MARGIN = 8 px of the keypoint. A crop that leaves the keypoint >= MARGIN
+# inside the new bounds therefore reproduces the IDENTICAL patch hash —
+# that is the whole invariance argument, no approximate matching needed.
+#
+# _SMOOTH = 0 (raw intensity) is deliberate: box-smoothing an ISOLATED
+# bright pixel on a locally flat background makes every window containing
+# it sum to the same value — a plateau, so the STRICT max vanishes and
+# flat-region texture anchors nothing (measured: a crop landing inside one
+# flat synthetic rectangle lost all its keypoints). Raw maxima keep exact
+# locality; a lossy-re-encode pipeline would instead raise _SMOOTH and
+# accept plateau blindness, or switch the patch hash to pHash + banded
+# Hamming (see crop_resistant_near_dups docstring).
+_R = 2        # strict-local-max window radius (5x5)
+_SMOOTH = 0   # intensity pre-smooth radius (0 = raw; see above)
+_P = 16       # patch side; the hashed payload is the raw P x P x 3 bytes
+_MARGIN = 8
+
+
+def _box_smooth(g: np.ndarray, r: int) -> np.ndarray:
+    """Exact integer box-sum of (2r+1)^2 neighborhoods, edge-padded —
+    integral-image formulation, no float drift (float blur would let the
+    same pixels hash differently across platforms)."""
+    k = 2 * r + 1
+    pad = np.pad(g, r, mode="edge").astype(np.int64)
+    c = pad.cumsum(0).cumsum(1)
+    c = np.pad(c, ((1, 0), (1, 0)))
+    h, w = g.shape
+    return c[k : k + h, k : k + w] - c[0:h, k : k + w] - c[k : k + h, 0:w] + c[0:h, 0:w]
+
+
+def _crop_patch_sigs(px: np.ndarray) -> list[int]:
+    """Distinct 63-bit patch hashes anchored at strict local maxima of the
+    box-smoothed intensity. Strictness makes the anchor set purely local
+    AND deterministic (equal-valued neighbors anchor nothing — no
+    tie-break that could depend on absolute coordinates, which a crop
+    shifts)."""
+    import hashlib
+
+    g = px.astype(np.int32).sum(axis=2)
+    s = _box_smooth(g, _SMOOTH) if _SMOOTH else g.astype(np.int64)
+    h, w = s.shape
+    if h <= 2 * _MARGIN or w <= 2 * _MARGIN:
+        return []
+    strict = np.ones_like(s, dtype=bool)
+    for dy in range(-_R, _R + 1):
+        for dx in range(-_R, _R + 1):
+            if dy == 0 and dx == 0:
+                continue
+            sh = np.full_like(s, np.int64(-(10**12)))
+            ys = slice(max(0, dy), h + min(0, dy))
+            xs = slice(max(0, dx), w + min(0, dx))
+            ysrc = slice(max(0, -dy), h + min(0, -dy))
+            xsrc = slice(max(0, -dx), w + min(0, -dx))
+            sh[ys, xs] = s[ysrc, xsrc]
+            strict &= s > sh
+    strict[:_MARGIN] = strict[-_MARGIN:] = False
+    strict[:, :_MARGIN] = strict[:, -_MARGIN:] = False
+    out = set()
+    half = _P // 2
+    for y, x in zip(*np.nonzero(strict)):
+        patch = px[y - half : y + half, x - half : x + half]
+        out.add(
+            int.from_bytes(
+                hashlib.blake2b(patch.tobytes(), digest_size=8).digest(), "big"
+            )
+            >> 1
+        )
+    return sorted(out)
+
+
+def crop_patch_signatures(
+    images: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """(image_id, psig): distinct content-anchored patch hashes per image —
+    map-only Arrow batches; pixels never leave the stage. Decode failures
+    drop the image (ingest owns error rows, detectors do not)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .. import codecs as _c
+
+        for pdf in batches:
+            out = []
+            for iid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    px = _c.decode_image(bytes(data))
+                except Exception:
+                    continue
+                out.extend((iid, sig) for sig in _crop_patch_sigs(px))
+            yield pd.DataFrame(out, columns=["image_id", "psig"])
+
+    return images.mapInPandas(fn, CROP_PATCH_SCHEMA)
+
+
+def crop_resistant_near_dups(
+    images: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    min_shared: int = 2,
+    max_bucket: int | None = 256,
+    sigs_out_path: str | None = None,
+) -> DataFrame:
+    """Crop-resistant image near-dup pairs — the re-upload class whole-image
+    pHash is blind to (cropping re-frames the DCT basis, so even a 10%%
+    margin trim lands Hamming-far; dihedral hashing does not help either).
+
+    Patch hashes are anchored at content-defined keypoints (strict local
+    maxima of smoothed intensity), so a crop that keeps a keypoint >= MARGIN
+    px inside the new bounds reproduces its hash EXACTLY — matching is a
+    plain equality join, no Hamming bands. Two images pair when they share
+    >= ``min_shared`` distinct patch hashes; score = shared / min(patch
+    count) in [0, 1].
+
+    Scale shape (100 TB): signatures are map-only (one decode, ~dozens of
+    int64s out — pixels never shuffle); the pair join runs over narrow
+    (psig, id) rows with the standard hot-bucket valve (``max_bucket``
+    caps flat-region hashes — a sky gradient anchoring thousands of images
+    would otherwise build a quadratic bucket; dropped buckets are
+    reported-by-construction in the oracle mirror, same convention as
+    simhash/minhash). Re-encode-lossy robustness is out of scope for the
+    exact-hash variant — that escalation path is patch-pHash + banded
+    Hamming, i.e. this operator's candidates fed through simhash_pairs.
+
+    ``sigs_out_path`` lands the (image_id, psig) relation as parquet so the
+    DuckDB oracle re-derives cap, join, threshold, and score from the SAME
+    files (the audio/frames/dihedral landed-stage pattern).
+    """
+    from pyspark.sql import functions as F
+
+    sigs = crop_patch_signatures(images, id_col, bytes_col)
+    if sigs_out_path is not None:
+        sigs.write.mode("overwrite").parquet(sigs_out_path)
+        sigs = images.sparkSession.read.parquet(sigs_out_path)
+    else:
+        sigs = sigs.localCheckpoint()  # feeds counts + both join sides
+
+    cnt = sigs.groupBy("image_id").agg(F.count(F.lit(1)).alias("_n"))
+    kept = sigs
+    if max_bucket is not None:
+        freq = sigs.groupBy("psig").agg(F.count(F.lit(1)).alias("_c"))
+        kept = sigs.join(freq, "psig").filter(F.col("_c") <= max_bucket).drop("_c")
+    a = kept.select(F.col("image_id").alias("a_id"), "psig")
+    b = kept.select(F.col("image_id").alias("b_id"), "psig")
+    pairs = (
+        a.join(b, "psig")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    na = cnt.select(F.col("image_id").alias("a_id"), F.col("_n").alias("_na"))
+    nb = cnt.select(F.col("image_id").alias("b_id"), F.col("_n").alias("_nb"))
+    return (
+        pairs.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.lit("crop_patch").alias("detector"),
+            F.col("shared").cast("int").alias("shared"),
+            F.round(F.col("shared") / F.least("_na", "_nb"), 6).alias("score"),
+        )
+    )

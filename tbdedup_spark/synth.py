@@ -369,3 +369,50 @@ def rotated_corpus(spark, n_orig: int = 40, n_dup: int = 20, seed: int = 42):
         .repartition(8)
         .mapInPandas(gen, "image_id string, bytes binary")
     )
+
+
+def cropped_corpus(spark, n_orig: int = 40, n_dup: int = 20, seed: int = 42):
+    """(image_id, bytes) PNG rows: im{j} (j < n_orig) are procedural base
+    images with a deterministic speckle layer (isolated bright pixels — the
+    texture stand-in real photographs have and pure gradients lack, which
+    the keypoint detector anchors on); im{n_orig+j} is a seeded CROP of base
+    j (each margin removes 4..dim/4 pixels, so >= half the area survives) —
+    the planted cropped-re-upload set for
+    ``multimodal.crop_resistant_near_dups``. Whole-image pHash is blind to
+    these by design (cropping shifts every DCT coefficient), asserted in
+    tests."""
+    import pandas as pd
+
+    total = n_orig + n_dup
+    assert n_dup <= n_orig
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                j = i if i < n_orig else i - n_orig
+                brng = np.random.default_rng(seed * 7_000_003 + j)
+                px = _base_pixels(brng, sizes=(96, 128, 160)).copy()
+                h, w, _ = px.shape
+                # Bright speckles on a jittered 10-px grid: spacing >= 6 px
+                # guarantees each is an ISOLATED strict local max (random
+                # placement leaves unlucky crops keypoint-free — adjacent
+                # speckles suppress each other under the strict-max rule).
+                gy, gx = np.mgrid[5 : h - 5 : 10, 5 : w - 5 : 10]
+                ys = np.clip(gy + brng.integers(-2, 3, gy.shape), 0, h - 1)
+                xs = np.clip(gx + brng.integers(-2, 3, gx.shape), 0, w - 1)
+                px[ys.ravel(), xs.ravel()] = 255
+                if i >= n_orig:
+                    own = np.random.default_rng(seed * 8_000_009 + i)
+                    t, b = int(own.integers(4, h // 4)), int(own.integers(4, h // 4))
+                    l, r = int(own.integers(4, w // 4)), int(own.integers(4, w // 4))
+                    px = np.ascontiguousarray(px[t : h - b, l : w - r])
+                rows.append((f"im{i:04d}", codecs.encode_png(px)))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    return (
+        spark.range(total)
+        .repartition(8)
+        .mapInPandas(gen, "image_id string, bytes binary")
+    )

@@ -1,0 +1,150 @@
+"""Round-5 third wave: crop-resistant image near-dup (content-anchored patch
+hashes) and edit-distance-verified dedup — planted-corpus tests beyond the
+sf0.01 oracle equality of test_entry_oracle.py."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Row
+
+from tbdedup_spark import codecs, synth
+from tbdedup_spark.operators import editdist, multimodal
+from tbdedup_spark.operators.multimodal import _MARGIN, _crop_patch_sigs
+
+
+# --- crop-resistant near-dup ---------------------------------------------------
+
+
+def _speckled(seed: int, h: int = 128, w: int = 128) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    px = synth._base_pixels(rng, sizes=(h,)).copy()
+    hh, ww, _ = px.shape
+    gy, gx = np.mgrid[5 : hh - 5 : 10, 5 : ww - 5 : 10]
+    ys = np.clip(gy + rng.integers(-2, 3, gy.shape), 0, hh - 1)
+    xs = np.clip(gx + rng.integers(-2, 3, gx.shape), 0, ww - 1)
+    px[ys.ravel(), xs.ravel()] = 255
+    return px
+
+
+def test_crop_patch_sigs_crop_closed():
+    """The invariance theorem the detector rests on: every patch hash of a
+    crop is a patch hash of the original (keypoints are strict local maxima
+    of a purely local statistic, and MARGIN covers every pixel a kept
+    signature depends on), and the shared mass is substantial."""
+    for seed in range(8):
+        px = _speckled(seed)
+        h, w, _ = px.shape
+        rng = np.random.default_rng(1000 + seed)
+        t, b = int(rng.integers(4, h // 4)), int(rng.integers(4, h // 4))
+        l, r = int(rng.integers(4, w // 4)), int(rng.integers(4, w // 4))
+        crop = np.ascontiguousarray(px[t : h - b, l : w - r])
+        so, sc = set(_crop_patch_sigs(px)), set(_crop_patch_sigs(crop))
+        assert sc <= so, f"seed {seed}: crop produced a hash the original lacks"
+        assert len(sc) >= 2, f"seed {seed}: too few surviving patches ({len(sc)})"
+
+
+def test_crop_detector_recovers_planted_pairs(spark):
+    media = synth.cropped_corpus(spark, n_orig=24, n_dup=12, seed=7)
+    got = {
+        (r.a_id, r.b_id)
+        for r in multimodal.crop_resistant_near_dups(media).collect()
+    }
+    planted = {(f"im{j:04d}", f"im{24 + j:04d}") for j in range(12)}
+    assert planted <= got, f"missed {sorted(planted - got)}"
+    assert got == planted, f"false pairs {sorted(got - planted)}"
+
+
+def test_whole_image_phash_blind_to_crops():
+    """The class argument: the planted crops are Hamming-FAR under plain
+    whole-image pHash (cropping re-frames the DCT basis), so the dedicated
+    detector is load-bearing, not redundant with simhash/dihedral."""
+    far = 0
+    for seed in range(6):
+        px = _speckled(seed)
+        h, w, _ = px.shape
+        crop = np.ascontiguousarray(px[h // 8 : h - h // 8, w // 8 : w - w // 8])
+        d = bin(codecs.phash64(px) ^ codecs.phash64(crop)).count("1")
+        if d > 6:  # the dihedral/image-tier match radius
+            far += 1
+    assert far >= 5, f"only {far}/6 crops were pHash-far"
+
+
+def test_crop_detector_hot_bucket_cap(spark):
+    """max_bucket drops a patch hash shared by too many images — the skew
+    valve a flat-texture hash (sky gradient) needs at 100 TB."""
+    px = _speckled(3)
+    rows = [Row(image_id=f"x{i}", bytes=bytearray(codecs.encode_png(px))) for i in range(5)]
+    df = spark.createDataFrame(rows)
+    # every image identical: all pairs share every hash; cap=4 drops all
+    # buckets (each hash appears in 5 images > 4)
+    assert multimodal.crop_resistant_near_dups(df, max_bucket=4).count() == 0
+    assert multimodal.crop_resistant_near_dups(df, max_bucket=5).count() == 10
+
+
+# --- edit-distance-verified dedup ----------------------------------------------
+
+_T = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform victor"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+def test_editdist_verifies_exact_distances(spark):
+    rows = [
+        (0, _T),
+        (1, _T.replace("charlie", "charloo")),      # 2 substitutions
+        (2, _T + " extra"),                          # 6 insertions
+        (3, "completely unrelated content " * 6),    # far
+        (4, _T.upper()),                             # normalization: identical
+    ]
+    got = {
+        (r.a_id, r.b_id): r.edit_distance
+        for r in editdist.edit_distance_pairs(
+            _docs(spark, rows), "doc_id", "text", max_dist=8
+        ).collect()
+    }
+    assert got[(0, 1)] == 2
+    assert got[(0, 2)] == 6
+    assert got[(0, 4)] == 0  # lower() folds case before hashing or verifying
+    assert all(3 not in p for p in got), f"far doc paired: {got}"
+
+
+def test_editdist_respects_threshold_and_length_bound(spark):
+    rows = [(0, _T), (1, _T + " " + _T[:40])]  # 41 inserted chars
+    pairs = editdist.edit_distance_pairs(
+        _docs(spark, rows), "doc_id", "text", max_dist=16
+    )
+    assert pairs.count() == 0  # length diff 41 > 16: pruned before verify
+
+
+def test_editdist_score_definition(spark):
+    rows = [(0, _T), (1, _T.replace("alpha", "alphx"))]
+    r = editdist.edit_distance_pairs(
+        _docs(spark, rows), "doc_id", "text", max_dist=8
+    ).collect()[0]
+    n = len(_T)
+    assert r.edit_distance == 1
+    assert abs(r.score - round(1.0 - 1.0 / n, 6)) < 1e-9
+
+
+def test_editdist_anchor_cap_drops_hot_grams(spark):
+    """With anchor_cap below the corpus size, a gram shared by EVERY doc
+    anchors nothing — the documented skew valve; recall then rests on the
+    docs' non-universal grams (here: none, so no pairs)."""
+    rows = [(i, _T) for i in range(6)]
+    assert (
+        editdist.edit_distance_pairs(
+            _docs(spark, rows), "doc_id", "text", max_dist=8, anchor_cap=5
+        ).count()
+        == 0
+    )
+    assert (
+        editdist.edit_distance_pairs(
+            _docs(spark, rows), "doc_id", "text", max_dist=8, anchor_cap=6
+        ).count()
+        == 15
+    )
