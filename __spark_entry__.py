@@ -1300,6 +1300,60 @@ def _q_image_tiered_dedup(spark, sf_dir):
     )
 
 
+def _q_image_tiered_crop_dedup(spark, sf_dir):
+    """The round's two themes composed: batch-vs-history TIER dedup over
+    IMAGES with the crop-resistant detector as tier 3. synth.crop_tier_corpus
+    plants one class per tier — verbatim byte copies ('exact'), PSNR>=40dB
+    perturbations ('near': pHash Hamming <= IMG_TIER_HAM), margin crops
+    ('crop': pHash-FAR by construction, but interior keypoint patches
+    identical), and fresh images ('unique'). incremental.tiered_image_crop_dedup
+    assigns tiers in precedence order; history never shuffles in any tier
+    (bytes-sha256 probe, banded-Hamming cross join, and the patch-hash
+    cross join all broadcast batch-bounded relations only).
+
+    ORACLE: two landed relations — (image_id, bytes, phash) and the
+    keypoint-patch (image_id, psig) — and DuckDB re-states all four tiers
+    declaratively: bytes equality, brute-force bit_count(xor) <= R (which
+    the uncapped pigeonhole banding equals exactly), shared-psig count >=
+    CROP_MIN_SHARED against any single history image, with the same
+    precedence CASE. Only the phash/psig values are Spark-supplied (pixel
+    decode is the non-SQL stage — the imgtier/audio/frames contract).
+    Reference analog: the dedup writer's skip-already-written-hashes rule
+    (/root/reference/tbdedup/dedup/__init__.py:137-161) escalated through
+    three signature families."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tbdedup_spark import synth
+    from tbdedup_spark.operators import incremental, multimodal
+    from tbdedup_spark.session import ensure_worker_pyfiles
+
+    ensure_worker_pyfiles(spark)  # mapInPandas closures import the package
+    corpus = synth.crop_tier_corpus(spark, seed=SEED)
+    land = os.path.join(MEDIA_ORACLE_DIR, "imgtier_crop")
+    shutil.rmtree(land, ignore_errors=True)  # no stale parts
+    multimodal.with_phash(corpus).write.mode("overwrite").parquet(
+        os.path.join(land, "corpus")
+    )
+    landed = spark.read.parquet(os.path.join(land, "corpus"))
+    multimodal.crop_patch_signatures(corpus).write.mode("overwrite").parquet(
+        os.path.join(land, "psigs")
+    )
+    psigs = spark.read.parquet(os.path.join(land, "psigs"))
+    is_hist = F.col("image_id").startswith("hist")
+    return incremental.tiered_image_crop_dedup(
+        landed.filter(~is_hist),
+        landed.filter(is_hist),
+        psigs.filter(~is_hist),
+        psigs.filter(is_hist),
+        max_hamming=IMG_TIER_HAM,
+        n_bands=8,
+        min_shared=CROP_MIN_SHARED,
+    )
+
+
 def _q_audio_near_dups(spark, sf_dir):
     """Audio near-dup detection under the driver contract. The driver
     testdata ships no media tables, so the corpus is synthesized IN-QUERY by
@@ -2588,6 +2642,35 @@ FROM newb n
 LEFT JOIN ex e ON n.image_id = e.image_id
 LEFT JOIN nr r ON n.image_id = r.image_id
 """,
+        "image_tiered_crop_dedup": f"""
+WITH c AS (SELECT image_id, bytes, phash
+           FROM read_parquet('{MEDIA_ORACLE_DIR}/imgtier_crop/corpus/*.parquet')),
+ps AS (SELECT image_id, psig
+       FROM read_parquet('{MEDIA_ORACLE_DIR}/imgtier_crop/psigs/*.parquet')),
+newb AS (SELECT * FROM c WHERE image_id NOT LIKE 'hist%'),
+hist AS (SELECT * FROM c WHERE image_id LIKE 'hist%'),
+ex AS (SELECT DISTINCT n.image_id FROM newb n JOIN hist h ON n.bytes = h.bytes),
+nr AS (SELECT DISTINCT n.image_id
+       FROM newb n JOIN hist h ON bit_count(xor(n.phash, h.phash)) <= {IMG_TIER_HAM}
+       WHERE n.image_id NOT IN (SELECT image_id FROM ex)),
+shared AS (SELECT a.image_id, h.image_id AS hid, count(*) AS s
+           FROM (SELECT * FROM ps WHERE image_id NOT LIKE 'hist%') a
+           JOIN (SELECT * FROM ps WHERE image_id LIKE 'hist%') h USING (psig)
+           GROUP BY 1, 2),
+cr AS (SELECT DISTINCT image_id FROM shared
+       WHERE s >= {CROP_MIN_SHARED}
+         AND image_id NOT IN (SELECT image_id FROM ex)
+         AND image_id NOT IN (SELECT image_id FROM nr))
+SELECT n.image_id,
+       CASE WHEN e.image_id IS NOT NULL THEN 'exact'
+            WHEN r.image_id IS NOT NULL THEN 'near'
+            WHEN p.image_id IS NOT NULL THEN 'crop'
+            ELSE 'unique' END AS tier
+FROM newb n
+LEFT JOIN ex e ON n.image_id = e.image_id
+LEFT JOIN nr r ON n.image_id = r.image_id
+LEFT JOIN cr p ON n.image_id = p.image_id
+""",
         # identical bitmap by construction: positions are hash60(sha256(norm)
         # || ':i') % m on both engines; 32 bits packed per BIGINT word (bit
         # 63 never set — DuckDB << refuses shift-63 overflow). bloom_maybe
@@ -2839,6 +2922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": _q_ann_ivf,
         "image_dedup_clusters": _q_image_dedup_clusters,
         "image_tiered_dedup": _q_image_tiered_dedup,
+        "image_tiered_crop_dedup": _q_image_tiered_crop_dedup,
         "streaming_first_seen_dedup": _q_streaming_first_seen,
         "streaming_windowed_counts": _q_streaming_windowed_counts,
         "audio_near_dups": _q_audio_near_dups,

@@ -347,3 +347,93 @@ def bloom_maybe_matches(
         .filter(F.col("_all"))
         .select(F.col("_bid").alias(id_col))
     )
+
+
+def crop_matches_cross(
+    new_psigs: DataFrame,
+    hist_psigs: DataFrame,
+    id_col: str = "image_id",
+    psig_col: str = "psig",
+    min_shared: int = 2,
+) -> DataFrame:
+    """Ids of NEW images sharing >= ``min_shared`` keypoint-patch hashes
+    with SOME single history image — the cross analog of
+    ``multimodal.crop_resistant_near_dups``'s self-join, under the
+    batch-vs-corpus contract: the new batch's (psig, id) relation is
+    broadcast and history's patch relation is only map-side scanned
+    (history never shuffles, never self-joins). A history patch bucket of
+    size S costs at most S * |new-in-bucket| candidate rows — linear in S,
+    so the self-join's quadratic hot-bucket mode cannot occur; the
+    per-(new, hist) shared count is a batch-bounded groupBy.
+    """
+    probe = new_psigs.select(F.col(id_col).alias("_aid"), F.col(psig_col).alias("_ps"))
+    hist = hist_psigs.select(F.col(id_col).alias("_hid"), F.col(psig_col).alias("_ps"))
+    return (
+        hist.join(F.broadcast(probe), "_ps")
+        .groupBy("_aid", "_hid")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .filter(F.col("_shared") >= min_shared)
+        .select(F.col("_aid").alias("_id"))
+        .distinct()
+    )
+
+
+def tiered_image_crop_dedup(
+    new_imgs: DataFrame,
+    hist_imgs: DataFrame,
+    new_psigs: DataFrame,
+    hist_psigs: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    phash_col: str = "phash",
+    max_hamming: int = 7,
+    n_bands: int = 8,
+    min_shared: int = 2,
+) -> DataFrame:
+    """(id_col, tier) for every NEW image: 'exact' | 'near' | 'crop' |
+    'unique' — ``tiered_image_dedup`` extended with the round's
+    crop-resistant detector as tier 3, closing the re-upload ladder: bytes
+    equality catches verbatim copies, pHash Hamming catches re-encodes and
+    light perturbation, keypoint-patch equality catches CROPS (which land
+    pHash-far by construction — the DCT basis re-frames), and only
+    genuinely new content reaches 'unique'.
+
+    Tiers partition the batch in precedence order (an exact copy also
+    shares every patch; precedence keeps each verdict attributable).
+    Callers pass the patch-hash relations explicitly
+    (``multimodal.crop_patch_signatures`` output, or a landed/precomputed
+    history index — at 100 TB the history psig table is maintained
+    incrementally exactly like the history MinHash table in
+    ``tiered_dedup``): every join broadcasts a batch-bounded relation,
+    history is only ever map-side scanned.
+    """
+    sig = F.sha2(F.col(bytes_col), 256)
+    exact_ids = exact_matches(
+        new_imgs.select(F.col(id_col).alias("_id"), sig.alias("_sig")),
+        hist_imgs.select(F.col(id_col).alias("_id"), sig.alias("_sig")),
+    )
+    near_ids = hamming_matches_cross(
+        new_imgs.select(F.col(id_col).alias("_id"), F.col(phash_col).alias("_sig")),
+        hist_imgs.select(F.col(id_col).alias("_id"), F.col(phash_col).alias("_sig")),
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+    ).join(exact_ids, "_id", "left_anti")
+    crop_ids = (
+        crop_matches_cross(new_psigs, hist_psigs, id_col=id_col, min_shared=min_shared)
+        .join(exact_ids, "_id", "left_anti")
+        .join(near_ids, "_id", "left_anti")
+    )
+    return (
+        new_imgs.select(F.col(id_col).alias("_id"))
+        .join(F.broadcast(exact_ids.withColumn("_t1", F.lit(True))), "_id", "left")
+        .join(F.broadcast(near_ids.withColumn("_t2", F.lit(True))), "_id", "left")
+        .join(F.broadcast(crop_ids.withColumn("_t3", F.lit(True))), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.when(F.col("_t1"), F.lit("exact"))
+            .when(F.col("_t2"), F.lit("near"))
+            .when(F.col("_t3"), F.lit("crop"))
+            .otherwise(F.lit("unique"))
+            .alias("tier"),
+        )
+    )

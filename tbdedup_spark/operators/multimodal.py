@@ -665,3 +665,36 @@ def crop_resistant_near_dups(
             F.round(F.col("shared") / F.least("_na", "_nb"), 6).alias("score"),
         )
     )
+
+
+WITH_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def with_phash(
+    images: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """(image_id, bytes, phash): one map-only decode+pHash pass — the
+    landing shape the tiered image queries need (bytes for the exact tier,
+    phash for the near tier) without a second decode or a bytes shuffle.
+    Decode failures drop the row (ingest owns error rows)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .. import codecs as _c
+
+        for pdf in batches:
+            out = []
+            for iid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    ph = _c.phash64(_c.decode_image(bytes(data)))
+                except Exception:
+                    continue
+                out.append((iid, data, ph))
+            yield pd.DataFrame(out, columns=["image_id", "bytes", "phash"])
+
+    return images.mapInPandas(fn, WITH_PHASH_SCHEMA)

@@ -371,6 +371,21 @@ def rotated_corpus(spark, n_orig: int = 40, n_dup: int = 20, seed: int = 42):
     )
 
 
+def _speckled_base(seed: int, j: int) -> np.ndarray:
+    """Procedural base image + bright speckles on a jittered 10-px grid:
+    spacing >= 6 px guarantees each is an ISOLATED strict local max (random
+    placement leaves unlucky crops keypoint-free — adjacent speckles
+    suppress each other under the keypoint detector's strict-max rule)."""
+    brng = np.random.default_rng(seed * 7_000_003 + j)
+    px = _base_pixels(brng, sizes=(96, 128, 160)).copy()
+    h, w, _ = px.shape
+    gy, gx = np.mgrid[5 : h - 5 : 10, 5 : w - 5 : 10]
+    ys = np.clip(gy + brng.integers(-2, 3, gy.shape), 0, h - 1)
+    xs = np.clip(gx + brng.integers(-2, 3, gx.shape), 0, w - 1)
+    px[ys.ravel(), xs.ravel()] = 255
+    return px
+
+
 def cropped_corpus(spark, n_orig: int = 40, n_dup: int = 20, seed: int = 42):
     """(image_id, bytes) PNG rows: im{j} (j < n_orig) are procedural base
     images with a deterministic speckle layer (isolated bright pixels — the
@@ -392,23 +407,79 @@ def cropped_corpus(spark, n_orig: int = 40, n_dup: int = 20, seed: int = 42):
             for i in pdf["id"]:
                 i = int(i)
                 j = i if i < n_orig else i - n_orig
-                brng = np.random.default_rng(seed * 7_000_003 + j)
-                px = _base_pixels(brng, sizes=(96, 128, 160)).copy()
+                px = _speckled_base(seed, j)
                 h, w, _ = px.shape
-                # Bright speckles on a jittered 10-px grid: spacing >= 6 px
-                # guarantees each is an ISOLATED strict local max (random
-                # placement leaves unlucky crops keypoint-free — adjacent
-                # speckles suppress each other under the strict-max rule).
-                gy, gx = np.mgrid[5 : h - 5 : 10, 5 : w - 5 : 10]
-                ys = np.clip(gy + brng.integers(-2, 3, gy.shape), 0, h - 1)
-                xs = np.clip(gx + brng.integers(-2, 3, gx.shape), 0, w - 1)
-                px[ys.ravel(), xs.ravel()] = 255
                 if i >= n_orig:
                     own = np.random.default_rng(seed * 8_000_009 + i)
                     t, b = int(own.integers(4, h // 4)), int(own.integers(4, h // 4))
                     l, r = int(own.integers(4, w // 4)), int(own.integers(4, w // 4))
                     px = np.ascontiguousarray(px[t : h - b, l : w - r])
                 rows.append((f"im{i:04d}", codecs.encode_png(px)))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    return (
+        spark.range(total)
+        .repartition(8)
+        .mapInPandas(gen, "image_id string, bytes binary")
+    )
+
+
+def crop_tier_corpus(
+    spark,
+    n_hist: int = 40,
+    n_crop: int = 10,
+    n_exact: int = 10,
+    n_near: int = 10,
+    n_new: int = 10,
+    seed: int = 42,
+):
+    """(image_id, bytes) corpus for the 4-tier batch-vs-history image dedup:
+    hist{j} are the already-ingested speckled bases; the NEW batch plants one
+    class per tier — copy{j} re-uploads base j's bytes verbatim ('exact'),
+    near{j} is base (n_exact+j) lightly perturbed, PSNR >= 40 dB ('near':
+    pHash-close), crop{j} crops base (n_exact+n_near+j) with margins
+    dim/8..dim/4 ('crop': pHash-FAR by construction but interior keypoint
+    patches identical), and new{j} are fresh bases from a disjoint seed
+    stream ('unique'). Classes use disjoint history bases so each verdict is
+    attributable."""
+    import pandas as pd
+
+    assert n_exact + n_near + n_crop <= n_hist
+    total = n_hist + n_crop + n_exact + n_near + n_new
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i < n_hist:
+                    rows.append((f"hist{i:04d}", codecs.encode_png(_speckled_base(seed, i))))
+                    continue
+                k = i - n_hist
+                if k < n_exact:
+                    rows.append((f"copy{k:04d}", codecs.encode_png(_speckled_base(seed, k))))
+                elif k < n_exact + n_near:
+                    j = k - n_exact
+                    px = _speckled_base(seed, n_exact + j)
+                    own = np.random.default_rng(seed * 9_000_011 + j)
+                    rows.append((f"near{j:04d}", codecs.encode_png(_perturb(px, own))))
+                elif k < n_exact + n_near + n_crop:
+                    j = k - n_exact - n_near
+                    px = _speckled_base(seed, n_exact + n_near + j)
+                    h, w, _ = px.shape
+                    own = np.random.default_rng(seed * 9_100_019 + j)
+                    t, b = int(own.integers(h // 8, h // 4)), int(own.integers(h // 8, h // 4))
+                    l, r = int(own.integers(w // 8, w // 4)), int(own.integers(w // 8, w // 4))
+                    rows.append(
+                        (f"crop{j:04d}",
+                         codecs.encode_png(np.ascontiguousarray(px[t : h - b, l : w - r])))
+                    )
+                else:
+                    j = k - n_exact - n_near - n_crop
+                    rows.append(
+                        (f"new{j:04d}",
+                         codecs.encode_png(_speckled_base(seed + 777_001, 50_000 + j)))
+                    )
             yield pd.DataFrame(rows, columns=["image_id", "bytes"])
 
     return (

@@ -148,3 +148,34 @@ def test_editdist_anchor_cap_drops_hot_grams(spark):
         ).count()
         == 15
     )
+
+
+# --- 4-tier batch-vs-history image dedup (exact/near/crop/unique) --------------
+
+
+def test_tiered_image_crop_dedup_attributes_every_class(spark):
+    """Each planted class lands in exactly its intended tier, and precedence
+    keeps the verdicts attributable (a byte copy also shares every patch —
+    it must still read 'exact')."""
+    from tbdedup_spark.operators import incremental, multimodal
+    from pyspark.sql import functions as F
+
+    corpus = synth.crop_tier_corpus(
+        spark, n_hist=16, n_crop=5, n_exact=5, n_near=5, n_new=5, seed=11
+    )
+    landed = multimodal.with_phash(corpus).localCheckpoint()
+    psigs = multimodal.crop_patch_signatures(corpus).localCheckpoint()
+    is_hist = F.col("image_id").startswith("hist")
+    tiers = {
+        r.image_id: r.tier
+        for r in incremental.tiered_image_crop_dedup(
+            landed.filter(~is_hist),
+            landed.filter(is_hist),
+            psigs.filter(~is_hist),
+            psigs.filter(is_hist),
+        ).collect()
+    }
+    assert len(tiers) == 20
+    want = {"copy": "exact", "near": "near", "crop": "crop", "new": "unique"}
+    for iid, tier in tiers.items():
+        assert tier == want[iid.rstrip("0123456789")], (iid, tier)
