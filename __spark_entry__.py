@@ -1471,12 +1471,25 @@ def _q_editdist_pairs(spark, sf_dir):
     ED_MAX edits". Full-pipeline DuckDB mirror (anchors, hot-gram cap,
     length-diff bound, levenshtein) over the same parquet — no landed
     intermediate needed, both engines have the distance built in.
+
+    ENGINE DIVERGENCE GUARD: DuckDB's levenshtein counts UTF-8 BYTES while
+    Spark's counts CODE POINTS (levenshtein('café','cafe') = 2 vs 1,
+    verified empirically), so the contract query restricts its domain to
+    ASCII-only documents IN BOTH ENGINES — on ASCII, bytes == code points
+    and the mirror is exact by construction on ANY dataset (the shipped
+    testdata happens to be all-ASCII, but the filter makes that a theorem,
+    not luck). The OPERATOR itself keeps full code-point semantics — the
+    production-correct definition.
+
     Reference analog: the hash-then-byte-compare verify discipline
     (/root/reference/tbdedup/dedup/__init__.py:140-157)."""
     from tbdedup_spark.operators import editdist
 
+    docs = _t(spark, sf_dir, "documents").filter(
+        ~F.col("text").rlike(r"[^\x00-\x7F]")
+    )
     return editdist.edit_distance_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        docs, "doc_id", "text",
         max_dist=ED_MAX, q=ED_Q, sample_mod=ED_MOD, anchor_cap=ED_CAP,
     )
 
@@ -2364,7 +2377,11 @@ FROM p JOIN cnt na ON na.image_id = p.a_id
 WHERE shared >= {CROP_MIN_SHARED}
 """,
         "editdist_pairs": f"""
-WITH d AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
+WITH d AS (SELECT doc_id AS id, {_NORM} AS t FROM documents
+           -- ASCII-only domain: DuckDB levenshtein counts UTF-8 bytes,
+           -- Spark counts code points; on ASCII they coincide (the Spark
+           -- query applies the identical filter)
+           WHERE NOT regexp_matches(text, '[^\\x00-\\x7F]')),
 nn AS (SELECT id, t, length(t) AS n FROM d WHERE length(t) >= {ED_Q}),
 g AS (SELECT id, n,
              unnest(list_transform(generate_series(0, n - {ED_Q}),

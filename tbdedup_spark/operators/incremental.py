@@ -227,29 +227,47 @@ def tiered_image_dedup(
     relation bounded by the NEW batch; history is only ever map-side
     scanned. Within-batch duplicates are out of scope by the same contract.
     """
-    sig = F.sha2(F.col(bytes_col), 256)
-    new_sigs = new_imgs.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
-    hist_sigs = hist_imgs.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
-    exact_ids = exact_matches(new_sigs, hist_sigs)
+    exact_ids, near_ids = _image_exact_near_ids(
+        new_imgs, hist_imgs, id_col, bytes_col, phash_col, max_hamming, n_bands
+    )
+    return _tier_select(new_imgs, id_col, [("exact", exact_ids), ("near", near_ids)])
 
+
+def _image_exact_near_ids(
+    new_imgs, hist_imgs, id_col, bytes_col, phash_col, max_hamming, n_bands
+):
+    """(exact_ids, near_ids) — the first two rungs of every image tier
+    ladder, shared by the 3- and 4-tier variants so a fix to either rung
+    lands in both. near is already anti-joined against exact (precedence)."""
+    sig = F.sha2(F.col(bytes_col), 256)
+    exact_ids = exact_matches(
+        new_imgs.select(F.col(id_col).alias("_id"), sig.alias("_sig")),
+        hist_imgs.select(F.col(id_col).alias("_id"), sig.alias("_sig")),
+    )
     near_ids = hamming_matches_cross(
         new_imgs.select(F.col(id_col).alias("_id"), F.col(phash_col).alias("_sig")),
         hist_imgs.select(F.col(id_col).alias("_id"), F.col(phash_col).alias("_sig")),
         max_hamming=max_hamming,
         n_bands=n_bands,
     ).join(exact_ids, "_id", "left_anti")
+    return exact_ids, near_ids
 
-    return (
-        new_imgs.select(F.col(id_col).alias("_id"))
-        .join(F.broadcast(exact_ids.withColumn("_t1", F.lit(True))), "_id", "left")
-        .join(F.broadcast(near_ids.withColumn("_t2", F.lit(True))), "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.when(F.col("_t1"), F.lit("exact"))
-            .when(F.col("_t2"), F.lit("near"))
-            .otherwise(F.lit("unique"))
-            .alias("tier"),
+
+def _tier_select(new_imgs, id_col, tiers):
+    """(id_col, tier) via first-match precedence over ``tiers`` =
+    [(label, ids_df), ...] — each ids_df is batch-bounded and broadcast;
+    rows matching no tier read 'unique'."""
+    out = new_imgs.select(F.col(id_col).alias("_id"))
+    for i, (_, ids) in enumerate(tiers):
+        out = out.join(
+            F.broadcast(ids.withColumn(f"_t{i}", F.lit(True))), "_id", "left"
         )
+    verdict = F.when(F.col("_t0"), F.lit(tiers[0][0]))
+    for i, (label, _) in enumerate(tiers[1:], start=1):
+        verdict = verdict.when(F.col(f"_t{i}"), F.lit(label))
+    return out.select(
+        F.col("_id").alias(id_col),
+        verdict.otherwise(F.lit("unique")).alias("tier"),
     )
 
 
@@ -407,33 +425,16 @@ def tiered_image_crop_dedup(
     ``tiered_dedup``): every join broadcasts a batch-bounded relation,
     history is only ever map-side scanned.
     """
-    sig = F.sha2(F.col(bytes_col), 256)
-    exact_ids = exact_matches(
-        new_imgs.select(F.col(id_col).alias("_id"), sig.alias("_sig")),
-        hist_imgs.select(F.col(id_col).alias("_id"), sig.alias("_sig")),
+    exact_ids, near_ids = _image_exact_near_ids(
+        new_imgs, hist_imgs, id_col, bytes_col, phash_col, max_hamming, n_bands
     )
-    near_ids = hamming_matches_cross(
-        new_imgs.select(F.col(id_col).alias("_id"), F.col(phash_col).alias("_sig")),
-        hist_imgs.select(F.col(id_col).alias("_id"), F.col(phash_col).alias("_sig")),
-        max_hamming=max_hamming,
-        n_bands=n_bands,
-    ).join(exact_ids, "_id", "left_anti")
     crop_ids = (
         crop_matches_cross(new_psigs, hist_psigs, id_col=id_col, min_shared=min_shared)
         .join(exact_ids, "_id", "left_anti")
         .join(near_ids, "_id", "left_anti")
     )
-    return (
-        new_imgs.select(F.col(id_col).alias("_id"))
-        .join(F.broadcast(exact_ids.withColumn("_t1", F.lit(True))), "_id", "left")
-        .join(F.broadcast(near_ids.withColumn("_t2", F.lit(True))), "_id", "left")
-        .join(F.broadcast(crop_ids.withColumn("_t3", F.lit(True))), "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.when(F.col("_t1"), F.lit("exact"))
-            .when(F.col("_t2"), F.lit("near"))
-            .when(F.col("_t3"), F.lit("crop"))
-            .otherwise(F.lit("unique"))
-            .alias("tier"),
-        )
+    return _tier_select(
+        new_imgs,
+        id_col,
+        [("exact", exact_ids), ("near", near_ids), ("crop", crop_ids)],
     )

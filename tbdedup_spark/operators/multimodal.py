@@ -518,7 +518,9 @@ CROP_PATCH_SCHEMA = T.StructType(
 _R = 2        # strict-local-max window radius (5x5)
 _SMOOTH = 0   # intensity pre-smooth radius (0 = raw; see above)
 _P = 16       # patch side; the hashed payload is the raw P x P x 3 bytes
-_MARGIN = 8
+# DERIVED, never hardcoded: raising _SMOOTH (the lossy-pipeline escalation
+# named above) must widen the margin with it or the closure theorem breaks.
+_MARGIN = max(_P // 2, _R + _SMOOTH)
 
 
 def _box_smooth(g: np.ndarray, r: int) -> np.ndarray:

@@ -9,7 +9,7 @@ from pyspark.sql import Row
 
 from tbdedup_spark import codecs, synth
 from tbdedup_spark.operators import editdist, multimodal
-from tbdedup_spark.operators.multimodal import _MARGIN, _crop_patch_sigs
+from tbdedup_spark.operators.multimodal import _crop_patch_sigs
 
 
 # --- crop-resistant near-dup ---------------------------------------------------
