@@ -458,12 +458,24 @@ def _q_dsir_weights(spark, sf_dir):
     tot = feat.agg(
         F.sum("_q").alias("_tq"), F.sum("_t").alias("_tt")
     )
+    # The per-bucket log-ratio is quantized to FIXED-POINT micro-nats
+    # before the per-doc sum: an unrounded double sum of ln() terms is the
+    # one value in the contract that is not exact-by-construction across
+    # engines (JVM Math.log vs DuckDB libm can differ in the last ulp, and
+    # float summation is order-dependent) — summing int64 micro-nats is
+    # order-independent and exact, and the boundary risk collapses from
+    # per-sum to per-bucket (<= DSIR_B roundings of ~1e-10 exposure each).
     lr = feat.crossJoin(F.broadcast(tot)).select(
         "_f",
-        (
-            F.log((F.col("_t") + 1) / (F.col("_tt") + DSIR_B))
-            - F.log((F.col("_q") + 1) / (F.col("_tq") + DSIR_B))
-        ).alias("_lr"),
+        F.round(
+            (
+                F.log((F.col("_t") + 1) / (F.col("_tt") + DSIR_B))
+                - F.log((F.col("_q") + 1) / (F.col("_tq") + DSIR_B))
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("_lr"),
     )
     per_doc = (
         grams.join(F.broadcast(lr), "_f")
@@ -473,7 +485,10 @@ def _q_dsir_weights(spark, sf_dir):
     return (
         d.select("doc_id")
         .join(per_doc, "doc_id", "left")
-        .select("doc_id", F.coalesce("_w", F.lit(0.0)).alias("dsir_logw"))
+        .select(
+            "doc_id",
+            (F.coalesce("_w", F.lit(0)) / F.lit(1_000_000.0)).alias("dsir_logw"),
+        )
     )
 
 
@@ -1338,7 +1353,9 @@ def _q_image_tiered_crop_dedup(spark, sf_dir):
         os.path.join(land, "corpus")
     )
     landed = spark.read.parquet(os.path.join(land, "corpus"))
-    multimodal.crop_patch_signatures(corpus).write.mode("overwrite").parquet(
+    # sign the LANDED bytes, not `corpus`: re-using the original relation
+    # would re-run the whole synth render+encode a second time (review catch)
+    multimodal.crop_patch_signatures(landed).write.mode("overwrite").parquet(
         os.path.join(land, "psigs")
     )
     psigs = spark.read.parquet(os.path.join(land, "psigs"))
@@ -2358,7 +2375,8 @@ FROM u JOIN fb USING (sig, batch) GROUP BY u.sig
         "frame_near_dups": _hamming_files_sql(
             f"{MEDIA_ORACLE_DIR}/frames", "frame_key", "phash", "frame_phash",
             max_hamming=3,
-            extra_where="AND split_part(a_id, ':', 1) != split_part(b_id, ':', 1)",
+            extra_where="AND regexp_replace(a_id, ':[0-9]+$', '') != "
+            "regexp_replace(b_id, ':[0-9]+$', '')",
         ),
         "crop_image_neardup": f"""
 WITH sigs AS (SELECT image_id, psig
@@ -2405,9 +2423,9 @@ FROM v WHERE dist <= {ED_MAX}
             f"{MEDIA_ORACLE_DIR}/dihedral", "okey", "phash", "dihedral_phash",
             max_hamming=DIH_HAM,
             extra_where=(
-                "AND split_part(a_id, ':', 1) != split_part(b_id, ':', 1) "
-                "AND (split_part(a_id, ':', 2) = '0' "
-                "OR split_part(b_id, ':', 2) = '0')"
+                "AND substr(a_id, 1, length(a_id) - 2) != "
+                "substr(b_id, 1, length(b_id) - 2) "
+                "AND (right(a_id, 1) = '0' OR right(b_id, 1) = '0')"
             ),
         ),
         "ann_topk_ivf": f"""
@@ -2733,11 +2751,14 @@ feat AS (SELECT f, count(*) AS q,
                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t
          FROM gr GROUP BY 1),
 tot AS (SELECT sum(q) AS tq, sum(t) AS tt FROM feat),
-lr AS (SELECT f, ln((t + 1) / CAST(tt + {DSIR_B} AS DOUBLE))
-              - ln((q + 1) / CAST(tq + {DSIR_B} AS DOUBLE)) AS lrv
+-- fixed-point micro-nats: int64 sums are order-independent and exact,
+-- removing the one libm/summation-order divergence in the contract
+lr AS (SELECT f, CAST(round((ln((t + 1) / CAST(tt + {DSIR_B} AS DOUBLE))
+              - ln((q + 1) / CAST(tq + {DSIR_B} AS DOUBLE))) * 1000000)
+              AS BIGINT) AS lrv
        FROM feat, tot),
 pd AS (SELECT doc_id, sum(lrv) AS w FROM gr JOIN lr USING (f) GROUP BY 1)
-SELECT doc_id, COALESCE(pd.w, 0.0) AS dsir_logw
+SELECT doc_id, COALESCE(pd.w, 0) / 1000000.0 AS dsir_logw
 FROM documents LEFT JOIN pd USING (doc_id)
 """,
         "cdc_chunk_dedup": f"""

@@ -240,6 +240,20 @@ def frame_signatures(frames: DataFrame) -> DataFrame:
     return frames.mapInPandas(fn, FRAME_SIG_SCHEMA)
 
 
+def _land_or_checkpoint(sigs: DataFrame, sigs_out_path: str | None):
+    """Single-source the oracle-landing contract every detector shares:
+    when ``sigs_out_path`` is set, the signature relation lands as parquet
+    and the RE-READ is returned (oracle input == join input by
+    construction), with False signalling downstream checkpointing is now
+    redundant; else the relation is returned untouched with True (the
+    caller materializes it once — via simhash_pairs' checkpoint flag or an
+    explicit localCheckpoint — because each detector consumes it 2-4x)."""
+    if sigs_out_path is not None:
+        sigs.write.mode("overwrite").parquet(sigs_out_path)
+        return sigs.sparkSession.read.parquet(sigs_out_path), False
+    return sigs, True
+
+
 def frame_near_dups(
     media: DataFrame,
     every_k: int = 2,
@@ -271,11 +285,7 @@ def frame_near_dups(
     # materialization keeps the video decode + pHash stage single-run.
     # sigs_out_path swaps the localCheckpoint for a parquet landing (same
     # oracle rationale as audio_near_dups).
-    checkpoint = True
-    if sigs_out_path is not None:
-        sigs.write.mode("overwrite").parquet(sigs_out_path)
-        sigs = media.sparkSession.read.parquet(sigs_out_path)
-        checkpoint = False
+    sigs, checkpoint = _land_or_checkpoint(sigs, sigs_out_path)
     pairs, _dropped = _sh.simhash_pairs(
         sigs,
         id_col="frame_key",
@@ -290,7 +300,10 @@ def frame_near_dups(
     if cross_media_only:
         from pyspark.sql import functions as _F
 
-        med = lambda c: _F.substring_index(c, ":", 1)
+        # strip the ':<frame_idx>' suffix from the RIGHT — media ids may
+        # themselves contain ':' (s3://...), so first-segment parsing would
+        # silently collapse every key to the scheme (review catch)
+        med = lambda c: _F.regexp_replace(c, ":[0-9]+$", "")
         pairs = pairs.filter(med(_F.col("a_id")) != med(_F.col("b_id")))
     return pairs
 
@@ -370,11 +383,8 @@ def audio_near_dups(
     from . import simhash as _sh
 
     sigs = audio_signatures(media).filter("decode_ok").select("media_id", "asig")
-    checkpoint = True  # decode+FFT must stay single-run across the subtree
-    if sigs_out_path is not None:
-        sigs.write.mode("overwrite").parquet(sigs_out_path)
-        sigs = media.sparkSession.read.parquet(sigs_out_path)
-        checkpoint = False  # the parquet IS the materialization
+    # decode+FFT must stay single-run across the subtree
+    sigs, checkpoint = _land_or_checkpoint(sigs, sigs_out_path)
     pairs, _dropped = _sh.simhash_pairs(
         sigs,
         id_col="media_id",
@@ -466,11 +476,7 @@ def dihedral_near_dups(
     from pyspark.sql import functions as F
 
     sigs = dihedral_signatures(images, id_col, bytes_col)
-    checkpoint = True
-    if sigs_out_path is not None:
-        sigs.write.mode("overwrite").parquet(sigs_out_path)
-        sigs = images.sparkSession.read.parquet(sigs_out_path)
-        checkpoint = False
+    sigs, checkpoint = _land_or_checkpoint(sigs, sigs_out_path)
     pairs, _dropped = _sh.simhash_pairs(
         sigs,
         id_col="okey",
@@ -482,8 +488,12 @@ def dihedral_near_dups(
         detector_name="dihedral_phash",
         checkpoint=checkpoint,
     )
-    base = lambda c: F.substring_index(c, ":", 1)
-    orient = lambda c: F.substring_index(c, ":", -1)
+    # parse from the RIGHT: the orientation is always the single appended
+    # ':d' digit, while image ids may themselves contain ':' (s3://...) —
+    # first-segment parsing would collapse every okey to the scheme and
+    # filter ALL pairs as same-base (review catch)
+    base = lambda c: F.substring(c, F.lit(1), F.length(c) - 2)
+    orient = lambda c: F.substring(c, F.lit(-1), F.lit(1))
     return pairs.filter(
         (base(F.col("a_id")) != base(F.col("b_id")))
         & ((orient(F.col("a_id")) == "0") | (orient(F.col("b_id")) == "0"))
@@ -634,10 +644,8 @@ def crop_resistant_near_dups(
     from pyspark.sql import functions as F
 
     sigs = crop_patch_signatures(images, id_col, bytes_col)
-    if sigs_out_path is not None:
-        sigs.write.mode("overwrite").parquet(sigs_out_path)
-        sigs = images.sparkSession.read.parquet(sigs_out_path)
-    else:
+    sigs, checkpoint = _land_or_checkpoint(sigs, sigs_out_path)
+    if checkpoint:
         sigs = sigs.localCheckpoint()  # feeds counts + both join sides
 
     cnt = sigs.groupBy("image_id").agg(F.count(F.lit(1)).alias("_n"))

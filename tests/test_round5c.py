@@ -179,3 +179,22 @@ def test_tiered_image_crop_dedup_attributes_every_class(spark):
     want = {"copy": "exact", "near": "near", "crop": "crop", "new": "unique"}
     for iid, tier in tiers.items():
         assert tier == want[iid.rstrip("0123456789")], (iid, tier)
+
+
+def test_dihedral_parses_ids_containing_colons(spark):
+    """Orientation parsing is RIGHT-anchored: an id like 's3://bucket/x'
+    contains ':' itself, and first-segment parsing would collapse every
+    okey to 's3' and filter ALL pairs as same-base (review catch)."""
+    px = _speckled(5)
+    rot = np.ascontiguousarray(np.rot90(px))
+    rows = [
+        Row(image_id="s3://bkt/a", bytes=bytearray(codecs.encode_png(px))),
+        Row(image_id="s3://bkt/b", bytes=bytearray(codecs.encode_png(rot))),
+    ]
+    pairs = multimodal.dihedral_near_dups(
+        spark.createDataFrame(rows), max_hamming=6
+    ).collect()
+    bases = {
+        tuple(sorted((r.a_id[: -2], r.b_id[: -2]))) for r in pairs
+    }
+    assert ("s3://bkt/a", "s3://bkt/b") in bases, pairs
