@@ -21,6 +21,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tbdedup_spark.functions import text, vectors
+from tbdedup_spark.functions.pii import EMAIL_RE as _PII_EMAIL
+from tbdedup_spark.functions.pii import IPV4_RE as _PII_IPV4
+from tbdedup_spark.functions.pii import PHONE_RE as _PII_PHONE
 from tbdedup_spark.operators import (
     ann, asof, cdc, incremental, minhash, setsim, simhash, substr, unionfind,
 )
@@ -415,6 +418,51 @@ def _q_ngram_topk(spark, sf_dir):
         .orderBy(F.col("n").desc(), "gram")
         .limit(20)
     )
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (functions/pii.py) — the privacy-scrub
+    pass production pipelines run FIRST. The synthetic corpus is word
+    salad with no PII, so the query plants deterministic PII the same way
+    bloom/count-min keep their error algebra non-trivial: docs with
+    doc_id % 7 == 0 gain an email, % 5 == 0 a phone, % 3 == 0 an IPv4 —
+    all constructed from doc_id by expressions BOTH engines state
+    identically, so the probed output shows every count in {0, 1} and
+    mixed placeholder layouts rather than comparing all-zero columns.
+    Counts + the fully redacted text are the compared values; regex
+    parity (Java vs RE2) is pinned by the ASCII-only constructs in
+    functions/pii.py and a planted pytest. Zero shuffles: one codegen
+    projection over the scan."""
+    from tbdedup_spark.functions import pii
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact user"), sid, F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-123-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii.pii_profile(planted, "doc_id", "text")
 
 
 def _q_dsir_weights(spark, sf_dir):
@@ -2740,6 +2788,31 @@ FROM newb n LEFT JOIN probed pr USING (doc_id) LEFT JOIN exq e USING (doc_id)
         # iff i = n or hash60(window) % D = 0, with hash60 the shared
         # md5-based base hash; list_filter/list_transform state the same
         # chunker the Spark higher-order projection runs.
+        # regex parity Java<->RE2 pinned by ASCII-only constructs
+        # (functions/pii.py); 'g' flag: DuckDB regexp_replace is
+        # first-match-only by default, Spark's is global
+        "pii_scrub": f"""
+WITH p AS (SELECT doc_id,
+  text || CASE WHEN doc_id % 7 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+               ELSE '' END
+       || CASE WHEN doc_id % 5 = 0
+               THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END
+       || CASE WHEN doc_id % 3 = 0
+               THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+               ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT) AS n_email,
+  CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INT) AS n_phone,
+  CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS INT) AS n_ipv4,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '{_PII_EMAIL}', '<EMAIL>', 'g'),
+      '{_PII_IPV4}', '<IP>', 'g'),
+      '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM p
+""",
         "dsir_importance_weights": f"""
 WITH d AS (SELECT doc_id, lang, string_split({_NORM}, ' ') AS ws FROM documents),
 g AS (SELECT doc_id, lang,
@@ -2987,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prefilter": _q_bloom_prefilter,
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,
         "dsir_importance_weights": _q_dsir_weights,
+        "pii_scrub": _q_pii_scrub,
         "semdedup_prune": _q_semdedup_prune,
         "scan_filter_project": _q_scan_filter,
         "group_agg": _q_group_agg,

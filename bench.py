@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "stratified_sample",
     "quality_filter_chain",
+    "pii_scrub",
     "domain_quota_sample",
     "pack_sequences",
     "token_budget_mix",

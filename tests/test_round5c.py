@@ -257,3 +257,23 @@ def test_editdist_matches_bruteforce_on_random_mutations(spark):
         ).collect()
     }
     assert got == want, (sorted(set(want) - set(got)), sorted(set(got) - set(want)))
+
+
+# --- PII detection + redaction ---------------------------------------------------
+
+
+def test_pii_profile_counts_and_redacts(spark):
+    from tbdedup_spark.functions import pii
+
+    rows = [
+        (0, "mail a.b+c@ex-ample.co.uk or x@y.io call 555-123-4567 or "
+            "555.999.1234 ip 10.0.0.255 done 1.2.3.4567"),
+        (1, "no pii here at all"),
+    ]
+    got = {r.doc_id: r for r in pii.pii_profile(_docs(spark, rows), "doc_id", "text").collect()}
+    assert (got[0].n_email, got[0].n_phone, got[0].n_ipv4) == (2, 2, 1)
+    assert got[0].redacted == (
+        "mail <EMAIL> or <EMAIL> call <PHONE> or <PHONE> ip <IP> done 1.2.3.4567"
+    )  # trailing 1.2.3.4567 is NOT an ipv4 (\b rejects the 4-digit tail)
+    assert (got[1].n_email, got[1].n_phone, got[1].n_ipv4) == (0, 0, 0)
+    assert got[1].redacted == "no pii here at all"
