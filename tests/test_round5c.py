@@ -277,3 +277,28 @@ def test_pii_profile_counts_and_redacts(spark):
     )  # trailing 1.2.3.4567 is NOT an ipv4 (\b rejects the 4-digit tail)
     assert (got[1].n_email, got[1].n_phone, got[1].n_ipv4) == (0, 0, 0)
     assert got[1].redacted == "no pii here at all"
+
+
+def test_phash_catches_resized_reuploads():
+    """Completes the re-upload tier map: 'exact' = byte copies, 'near' =
+    re-encode/perturb AND RESIZE (pHash area-resamples to 32x32 before the
+    DCT, so a properly resampled downscale lands Hamming-close), 'dihedral'
+    = rotations, 'crop' = crops. Asserted here so the near tier's resize
+    coverage is a tested claim, not an implementation accident. The resize
+    must be a real resample (area mean) — stride-2 SUBSAMPLING of these
+    non-band-limited modular gradients aliases into different content
+    (measured Hamming 50), which is a property of naive subsampling, not a
+    detector gap."""
+    for seed in range(6):
+        px = _speckled(seed)
+        h, w, _ = px.shape
+        h2, w2 = h // 2 * 2, w // 2 * 2
+        half = (
+            px[:h2, :w2]
+            .astype(np.uint16)
+            .reshape(h2 // 2, 2, w2 // 2, 2, 3)
+            .mean(axis=(1, 3))
+            .astype(np.uint8)
+        )
+        d = bin(codecs.phash64(px) ^ codecs.phash64(half)).count("1")
+        assert d <= 7, f"seed {seed}: resized copy Hamming {d} > near radius"
