@@ -53,7 +53,19 @@ import __spark_entry__ as entry_mod
 from tbdedup_spark.session import get_spark
 
 # The headline set: the dedup core + detectors + training-data primitives +
-# representative relational ops.
+# representative relational ops. Contract queries NOT here fall into four
+# documented classes: (a) fixed-size in-query corpora that don't scale with
+# $SPARK_GRAFT_SF_DIR (image/audio/video/streaming queries — their cost is
+# constant by construction); (b) deliberate exclusions with their own
+# evidence (leakage_safe_split = the benched dedup_clusters subtree + one
+# projection; embedding_neardup_pairs = the documented-saturation oracle
+# variant, guarded); (c) pure-map text variants whose cost shape is the
+# benched doc_fingerprint/quality_filter_chain (token_counts, lang_id,
+# quality_scores, bpe_token_counts); (d) relational one-shots whose plan
+# family is covered (anti_join/cube/rollup/set_ops/regex_filter/
+# derived_key_group/scan_filter_project ~ group_agg/broadcast_join_agg;
+# dual_hash_sanity/count_distinct_agg ~ exact_dedup; asof_join_tolerance
+# ~ asof_join).
 BENCH_QUERIES = [
     "exact_dedup_representatives",
     "minhash_lsh_pairs",
