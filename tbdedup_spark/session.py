@@ -110,8 +110,23 @@ def ensure_worker_pyfiles(spark: SparkSession) -> None:
         return
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     zip_path = os.path.join(root, "dist", "tbdedup_spark.zip")
+
+    def _stale() -> bool:
+        # a zip older than any package source ships OLD code to workers,
+        # which surfaces as an opaque AttributeError at UDF deserialization
+        # (cloudpickle references by module path) — rebuild instead
+        if not os.path.exists(zip_path):
+            return True
+        zt = os.path.getmtime(zip_path)
+        pkg = os.path.join(root, "tbdedup_spark")
+        for dirpath, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py") and os.path.getmtime(os.path.join(dirpath, f)) > zt:
+                    return True
+        return False
+
     build = None
-    if not os.path.exists(zip_path):  # source checkout without dist: build it
+    if _stale():  # missing dist, or source newer than the shipped zip
         import subprocess
         import sys
 
