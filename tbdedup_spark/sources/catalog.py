@@ -74,11 +74,13 @@ class Catalog:
         iceberg_catalog: str = "ice",
         namespace: str = "tbdedup",
         progress_interval: float = 5.0,
+        versioned: bool = False,
     ):
         self.spark = spark
         self.warehouse = warehouse
         self.run_id = run_id
         self.iceberg = iceberg
+        self.versioned = versioned and not iceberg  # Iceberg versions natively
         self.progress_interval = progress_interval
         self._ns = f"{iceberg_catalog}.{namespace}"
         if iceberg:
@@ -109,7 +111,65 @@ class Catalog:
     def exists(self, table: str) -> bool:
         if self.iceberg:
             return self.spark.catalog.tableExists(self._tbl(table))
+        if self.versioned:
+            return os.path.exists(self._manifest_path(table))
         return os.path.exists(os.path.join(self._path(table), "_SUCCESS"))
+
+    # --- versioned (snapshot / time-travel) parquet mode -------------------
+    #
+    # The Iceberg commit mechanic — write data files, then atomically swap a
+    # single metadata pointer — implemented on plain parquet so the snapshot
+    # SEMANTICS (time travel, O(1) rollback, isolation of readers from
+    # in-flight writes) are working, testable code in the jar-less sandbox,
+    # not just the dormant writeTo branch. Data lands in snap-<id>/ dirs;
+    # `_snapshots.json` is the pointer, committed via os.replace (atomic on
+    # POSIX — the same all-or-nothing property as Iceberg's metadata swap).
+    # Snapshot ids are never reused after rollback (Iceberg's rule), so
+    # lineage stays unambiguous.
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self._path(table), "_snapshots.json")
+
+    def _manifest(self, table: str) -> dict:
+        with open(self._manifest_path(table)) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, table: str, manifest: dict) -> None:
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(table))  # THE commit point
+
+    def snapshots(self, table: str) -> list[dict]:
+        """Committed snapshots (id, rows), oldest first; requires
+        ``versioned=True``."""
+        return self._manifest(table)["snapshots"]
+
+    def current_snapshot(self, table: str) -> int:
+        return self._manifest(table)["current"]
+
+    def rollback(self, table: str, snapshot_id: int) -> None:
+        """Point the table back at an earlier snapshot — O(1), data
+        untouched; the next write() commits as a NEW id above every
+        historical one."""
+        m = self._manifest(table)
+        if not any(s["id"] == snapshot_id for s in m["snapshots"]):
+            raise ValueError(f"unknown snapshot {snapshot_id} for {table}")
+        m["current"] = snapshot_id
+        self._commit_manifest(table, m)
+
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> list[int]:
+        """Delete the data of all but the newest ``keep_last`` snapshots
+        (the current snapshot is always kept); returns expired ids."""
+        m = self._manifest(table)
+        keep = {s["id"] for s in m["snapshots"][-keep_last:]} | {m["current"]}
+        expired = [s["id"] for s in m["snapshots"] if s["id"] not in keep]
+        for sid in expired:
+            shutil.rmtree(os.path.join(self._path(table), f"snap-{sid}"),
+                          ignore_errors=True)
+        m["snapshots"] = [s for s in m["snapshots"] if s["id"] in keep]
+        self._commit_manifest(table, m)
+        return expired
 
     def list_tables(self, prefix: str = "") -> list[str]:
         """Committed table names for this run starting with ``prefix`` —
@@ -126,15 +186,23 @@ class Catalog:
         run_dir = os.path.join(self.warehouse, self.run_id)
         if not os.path.isdir(run_dir):
             return []
+        marker = "_snapshots.json" if self.versioned else "_SUCCESS"
         return sorted(
             t for t in os.listdir(run_dir)
             if t.startswith(prefix)
-            and os.path.exists(os.path.join(run_dir, t, "_SUCCESS"))
+            and os.path.exists(os.path.join(run_dir, t, marker))
         )
 
-    def read(self, table: str) -> DataFrame:
+    def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
         if self.iceberg:
             return self.spark.table(self._tbl(table))
+        if self.versioned:
+            sid = self.current_snapshot(table) if snapshot_id is None else snapshot_id
+            return self.spark.read.parquet(
+                os.path.join(self._path(table), f"snap-{sid}")
+            )
+        if snapshot_id is not None:
+            raise ValueError("snapshot reads need versioned=True (or Iceberg)")
         return self.spark.read.parquet(self._path(table))
 
     def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> int:
@@ -152,6 +220,26 @@ class Catalog:
             writer.createOrReplace()
             return self.read(table).count()
         path = self._path(table)
+        if self.versioned:
+            if self.exists(table):
+                m = self._manifest(table)
+            else:
+                os.makedirs(path, exist_ok=True)
+                m = {"current": 0, "next": 1, "snapshots": []}
+            sid = m["next"]
+            snap_dir = os.path.join(path, f"snap-{sid}")
+            shutil.rmtree(snap_dir, ignore_errors=True)  # killed-run leftovers
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(snap_dir)
+            n = self._footer_count(snap_dir)
+            if n is None:
+                n = self.spark.read.parquet(snap_dir).count()
+            m["snapshots"].append({"id": sid, "rows": n})
+            m["current"], m["next"] = sid, sid + 1
+            self._commit_manifest(table, m)  # readers flip here, atomically
+            return n
         if os.path.exists(path) and not self.exists(table):
             shutil.rmtree(path)  # partial output from a killed run
         writer = df.write.mode("overwrite")

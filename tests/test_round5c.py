@@ -302,3 +302,46 @@ def test_phash_catches_resized_reuploads():
         )
         d = bin(codecs.phash64(px) ^ codecs.phash64(half)).count("1")
         assert d <= 7, f"seed {seed}: resized copy Hamming {d} > near radius"
+
+
+# --- versioned (snapshot / time-travel) catalog mode ----------------------------
+
+
+def test_catalog_versioned_snapshots(spark, tmp_path):
+    """The Iceberg commit mechanic on plain parquet: every write is a new
+    snapshot committed by an atomic manifest swap; historical reads, O(1)
+    rollback, no id reuse after rollback, and expiry that never deletes the
+    current snapshot."""
+    from tbdedup_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path), "run_v", versioned=True)
+    assert not cat.exists("t")
+    assert cat.write(spark.range(3).selectExpr("id AS v"), "t") == 3
+    assert cat.write(spark.range(5).selectExpr("id + 10 AS v"), "t") == 5
+    assert cat.exists("t") and cat.current_snapshot("t") == 2
+    assert [s["id"] for s in cat.snapshots("t")] == [1, 2]
+    assert cat.read("t").count() == 5                      # current
+    assert cat.read("t", snapshot_id=1).count() == 3       # time travel
+    cat.rollback("t", 1)
+    assert cat.read("t").count() == 3                      # O(1) pointer swap
+    assert cat.write(spark.range(7).selectExpr("id AS v"), "t") == 7
+    assert cat.current_snapshot("t") == 3                  # id never reused
+    assert cat.read("t", snapshot_id=1).count() == 3       # history intact
+    expired = cat.expire_snapshots("t", keep_last=1)
+    assert expired == [1, 2]
+    assert cat.read("t").count() == 7
+    assert "t" in cat.list_tables()
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        cat.rollback("t", 99)
+
+
+def test_catalog_unversioned_rejects_snapshot_reads(spark, tmp_path):
+    from tbdedup_spark.sources.catalog import Catalog
+    import pytest as _pt
+
+    cat = Catalog(spark, str(tmp_path), "run_u")
+    cat.write(spark.range(2).selectExpr("id AS v"), "t")
+    assert cat.read("t").count() == 2
+    with _pt.raises(ValueError):
+        cat.read("t", snapshot_id=1)
