@@ -420,6 +420,44 @@ def _q_ngram_topk(spark, sf_dir):
     )
 
 
+SNAP_ORACLE_DIR = "/tmp/tbdedup_snap_oracle"  # stable: oracle_sql is static
+
+
+def _q_snapshot_diff_dedup(spark, sf_dir):
+    """Incremental dedup as SNAPSHOT DIFF on the versioned catalog — the
+    storage-side half of the tier story: the history table the tiered
+    queries probe must ADVANCE one atomic commit per ingested batch, and
+    "what is genuinely new in the latest commit?" must be answerable
+    against any historical snapshot. The query commits snapshot 1 (docs
+    with doc_id % INC_NEW_MOD != 0 — the tiered queries' history split)
+    and snapshot 2 (the full corpus) of a (doc_id, sig) table through
+    Catalog(versioned=True), then anti-joins current against the
+    TIME-TRAVEL READ of snapshot 1 by canonical signature: the rows whose
+    content entered the corpus in commit 2. Exact-dup re-ingests (same
+    sig, new doc_id) are correctly absent.
+
+    ORACLE: both snapshots are plain parquet under the committed snap-N
+    dirs (the manifest-swap commit is the landed non-SQL step), so DuckDB
+    re-derives the same anti join from the same files. Reference analog:
+    the dedup writer's skip-already-written-hashes rule
+    (/root/reference/tbdedup/dedup/__init__.py:137-161) expressed against
+    a snapshot store instead of an in-run set."""
+    import shutil
+
+    from tbdedup_spark.sources.catalog import Catalog
+
+    shutil.rmtree(SNAP_ORACLE_DIR, ignore_errors=True)  # deterministic re-runs
+    cat = Catalog(spark, SNAP_ORACLE_DIR, "run_snap", versioned=True)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(text.norm_text("text"), 256).alias("sig")
+    )
+    cat.write(d.filter(F.col("doc_id") % INC_NEW_MOD != 0), "docs")  # snap 1
+    cat.write(d, "docs")                                             # snap 2
+    cur = cat.read("docs")
+    hist = cat.read("docs", snapshot_id=1)
+    return cur.join(hist.select("sig"), "sig", "left_anti").select("doc_id", "sig")
+
+
 def _q_pii_scrub(spark, sf_dir):
     """PII detection + redaction (functions/pii.py) — the privacy-scrub
     pass production pipelines run FIRST. The synthetic corpus is word
@@ -2788,6 +2826,17 @@ FROM newb n LEFT JOIN probed pr USING (doc_id) LEFT JOIN exq e USING (doc_id)
         # iff i = n or hash60(window) % D = 0, with hash60 the shared
         # md5-based base hash; list_filter/list_transform state the same
         # chunker the Spark higher-order projection runs.
+        # both snapshots are plain parquet under the committed snap-N dirs;
+        # NOT EXISTS (not NOT IN) so a hypothetical NULL sig keeps Spark's
+        # left_anti semantics
+        "snapshot_diff_dedup": f"""
+WITH cur AS (SELECT doc_id, sig
+             FROM read_parquet('{SNAP_ORACLE_DIR}/run_snap/docs/snap-2/*.parquet')),
+h AS (SELECT sig
+      FROM read_parquet('{SNAP_ORACLE_DIR}/run_snap/docs/snap-1/*.parquet'))
+SELECT doc_id, sig FROM cur
+WHERE NOT EXISTS (SELECT 1 FROM h WHERE h.sig = cur.sig)
+""",
         # regex parity Java<->RE2 pinned by ASCII-only constructs
         # (functions/pii.py); 'g' flag: DuckDB regexp_replace is
         # first-match-only by default, Spark's is global
@@ -3061,6 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,
         "dsir_importance_weights": _q_dsir_weights,
         "pii_scrub": _q_pii_scrub,
+        "snapshot_diff_dedup": _q_snapshot_diff_dedup,
         "semdedup_prune": _q_semdedup_prune,
         "scan_filter_project": _q_scan_filter,
         "group_agg": _q_group_agg,
