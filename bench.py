@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "decontaminate_ngram_join",
     "repetition_scores",
     "tiered_incremental_dedup",
+    "snapshot_diff_dedup",
     "bloom_prefilter",
     "cdc_chunk_dedup",
     "dsir_importance_weights",
