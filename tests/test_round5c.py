@@ -345,3 +345,24 @@ def test_catalog_unversioned_rejects_snapshot_reads(spark, tmp_path):
     assert cat.read("t").count() == 2
     with _pt.raises(ValueError):
         cat.read("t", snapshot_id=1)
+
+
+def test_catalog_versioned_killed_run_recovery(spark, tmp_path):
+    """A run killed between the data write and the manifest commit leaves
+    an orphan snap dir and an UNMOVED pointer: readers never saw the dead
+    snapshot (atomicity), and the retry overwrites the orphan under the
+    same id it re-earns."""
+    import os
+
+    from tbdedup_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path), "run_k", versioned=True)
+    cat.write(spark.range(3).selectExpr("id AS v"), "t")
+    # simulate a kill: orphan snap-2 data, manifest still at snapshot 1
+    orphan = os.path.join(str(tmp_path), "run_k", "t", "snap-2")
+    spark.range(99).selectExpr("id AS v").write.parquet(orphan)
+    assert cat.current_snapshot("t") == 1
+    assert cat.read("t").count() == 3          # readers unaffected
+    assert cat.write(spark.range(5).selectExpr("id AS v"), "t") == 5
+    assert cat.current_snapshot("t") == 2      # retry re-earned the id
+    assert cat.read("t").count() == 5          # orphan data fully replaced
