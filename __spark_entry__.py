@@ -209,12 +209,17 @@ def _minhash_pairs_df(spark, sf_dir):
 
 
 def _q_minhash(spark, sf_dir):
+    """Shingle-MinHash + LSH banding near-dup pairs over documents
+    (operators/minhash.py): oracle-grade md5 hashing, estimated-Jaccard
+    band prefilter, exact hash-set Jaccard verify."""
     return _minhash_pairs_df(spark, sf_dir).select(
         "a_id", "b_id", "detector", F.round("score", 6).alias("score")
     )
 
 
 def _q_simhash(spark, sf_dir):
+    """Text SimHash + pigeonhole banded Hamming pairs over documents
+    (operators/simhash.py): zero-UDF signature build, bit_count verify."""
     d = _t(spark, sf_dir, "documents")
     sh = simhash.text_simhash(d, "doc_id", "text", SIM_W)
     pairs, _ = simhash.simhash_pairs(
@@ -234,6 +239,9 @@ def _substr_pairs_df(spark, sf_dir):
 
 
 def _q_substr(spark, sf_dir):
+    """Full-string containment pairs over documents (operators/substr.py):
+    rarest-fingerprint probe vs mod-sampled inverted index, contains()
+    verify — complete and precise by construction."""
     return _substr_pairs_df(spark, sf_dir)
 
 
@@ -313,6 +321,8 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 def _q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish token counts per document (functions/text.py) —
+    pure codegen expressions, zero shuffles."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -322,6 +332,8 @@ def _q_token_counts(spark, sf_dir):
 
 
 def _q_quality(spark, sf_dir):
+    """Per-document quality features (length/token/punct/stopword ratios,
+    functions/text.py) — the raw signals the filter chain thresholds."""
     d = _t(spark, sf_dir, "documents")
     feats = text.quality_features("text")
     return d.select(
@@ -335,6 +347,8 @@ def _q_quality(spark, sf_dir):
 
 
 def _q_lang_id(spark, sf_dir):
+    """N-gram-heuristic language ID per document (functions/text.py) —
+    stopword/character-class scores, pure expressions."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", text.lang_id_heuristic("text").alias("lang_guess"))
 
@@ -1252,6 +1266,9 @@ def _q_embedding_neardup_capped(spark, sf_dir):
 
 
 def _q_ann_bruteforce(spark, sf_dir):
+    """Exact cosine top-k over the embeddings table (operators/ann.py):
+    probes broadcast, one corpus scan, per-probe rank — the correctness
+    baseline the LSH/IVF variants are measured against."""
     e = _t(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 10)
     out = ann.topk_bruteforce(e, probes, "vec_id", "embedding", k=ANN_K)
@@ -1259,6 +1276,9 @@ def _q_ann_bruteforce(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN top-k (operators/ann.py): seeded signed-
+    projection signatures, Hamming-1 multiprobe, exact cosine re-rank of
+    bucket candidates — the banded scale path over the brute baseline."""
     e = _t(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 10)
     out = ann.topk_lsh(
