@@ -366,3 +366,16 @@ def test_catalog_versioned_killed_run_recovery(spark, tmp_path):
     assert cat.write(spark.range(5).selectExpr("id AS v"), "t") == 5
     assert cat.current_snapshot("t") == 2      # retry re-earned the id
     assert cat.read("t").count() == 5          # orphan data fully replaced
+
+
+def test_editdist_operator_is_codepoint_exact_on_unicode(spark):
+    """The OPERATOR keeps full code-point semantics ('café' vs 'cafe' is
+    ONE edit); only the contract query narrows its domain to ASCII because
+    DuckDB's levenshtein counts UTF-8 bytes (would say 2). Pinned here so
+    the production definition can't silently regress to byte distances."""
+    a = "café " + _T
+    b = "cafe " + _T
+    r = editdist.edit_distance_pairs(
+        _docs(spark, [(0, a), (1, b)]), "doc_id", "text", max_dist=4
+    ).collect()
+    assert len(r) == 1 and r[0].edit_distance == 1
