@@ -545,12 +545,22 @@ def _box_smooth(g: np.ndarray, r: int) -> np.ndarray:
     return c[k : k + h, k : k + w] - c[0:h, k : k + w] - c[k : k + h, 0:w] + c[0:h, 0:w]
 
 
-def _crop_patch_sigs(px: np.ndarray) -> list[int]:
+def _crop_patch_sigs(px: np.ndarray, max_patches: int | None = None) -> list[int]:
     """Distinct 63-bit patch hashes anchored at strict local maxima of the
     box-smoothed intensity. Strictness makes the anchor set purely local
     AND deterministic (equal-valued neighbors anchor nothing — no
     tie-break that could depend on absolute coordinates, which a crop
-    shifts)."""
+    shifts).
+
+    ``max_patches``: keep only the top N keypoints by (intensity value
+    desc, hash asc) — the per-image valve a textured 12-MP photo needs
+    (strict maxima can approach 1/(2R+1)^2 of pixels, ~10^5 rows/image).
+    The ranking is CROP-SAFE by subset-monotonicity: a crop's candidate
+    set is a subset of the original's with identical values and hashes,
+    and anything in the superset's top-N that survives the crop is
+    necessarily in the subset's top-N — so capping shrinks the shared
+    count but never invents a rank inversion (the recall envelope moves
+    from |survivors| to |survivors ∩ top-N|, documented, deterministic)."""
     import hashlib
 
     g = px.astype(np.int32).sum(axis=2)
@@ -572,25 +582,34 @@ def _crop_patch_sigs(px: np.ndarray) -> list[int]:
             strict &= s > sh
     strict[:_MARGIN] = strict[-_MARGIN:] = False
     strict[:, :_MARGIN] = strict[:, -_MARGIN:] = False
-    out = set()
+    ranked = set()
     half = _P // 2
     for y, x in zip(*np.nonzero(strict)):
         patch = px[y - half : y + half, x - half : x + half]
-        out.add(
+        hval = (
             int.from_bytes(
                 hashlib.blake2b(patch.tobytes(), digest_size=8).digest(), "big"
             )
             >> 1
         )
-    return sorted(out)
+        ranked.add((-int(s[y, x]), hval))
+    if max_patches is not None:
+        ranked = sorted(ranked)[:max_patches]
+    return sorted({h for _v, h in ranked})
 
 
 def crop_patch_signatures(
-    images: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes"
+    images: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    max_patches: int | None = None,
 ) -> DataFrame:
     """(image_id, psig): distinct content-anchored patch hashes per image —
     map-only Arrow batches; pixels never leave the stage. Decode failures
-    drop the image (ingest owns error rows, detectors do not)."""
+    drop the image (ingest owns error rows, detectors do not).
+    ``max_patches`` is the per-image keypoint valve (see _crop_patch_sigs);
+    None keeps every strict maximum (right for thumbnail-scale corpora,
+    required by callers whose oracle landed the uncapped relation)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .. import codecs as _c
@@ -602,7 +621,9 @@ def crop_patch_signatures(
                     px = _c.decode_image(bytes(data))
                 except Exception:
                     continue
-                out.extend((iid, sig) for sig in _crop_patch_sigs(px))
+                out.extend(
+                    (iid, sig) for sig in _crop_patch_sigs(px, max_patches)
+                )
             yield pd.DataFrame(out, columns=["image_id", "psig"])
 
     return images.mapInPandas(fn, CROP_PATCH_SCHEMA)

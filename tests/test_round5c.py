@@ -379,3 +379,26 @@ def test_editdist_operator_is_codepoint_exact_on_unicode(spark):
         _docs(spark, [(0, a), (1, b)]), "doc_id", "text", max_dist=4
     ).collect()
     assert len(r) == 1 and r[0].edit_distance == 1
+
+
+def test_crop_patch_cap_is_crop_safe():
+    """The max_patches valve keeps the closure property: a capped crop's
+    hashes are a subset of the capped original's POSSIBLE top set — any
+    original-top-N keypoint surviving the crop is in the crop's top-N
+    (subset monotonicity of top-N under candidate removal), so capping
+    never manufactures a hash the uncapped pipeline lacked and planted
+    recovery degrades gracefully, not catastrophically."""
+    from tbdedup_spark.operators.multimodal import _crop_patch_sigs
+
+    for seed in range(6):
+        px = _speckled(seed)
+        h, w, _ = px.shape
+        crop = np.ascontiguousarray(px[h // 8 : h - h // 8, w // 8 : w - w // 8])
+        full_o = set(_crop_patch_sigs(px))
+        cap_o = set(_crop_patch_sigs(px, max_patches=16))
+        cap_c = set(_crop_patch_sigs(crop, max_patches=16))
+        assert cap_o <= full_o and len(cap_o) <= 16 and len(cap_c) <= 16
+        # monotonicity consequence: capped-crop hashes that the uncapped
+        # original owns AND that made the original's top-16 stay shared
+        assert cap_c <= set(_crop_patch_sigs(crop)) <= full_o
+        assert len(cap_o & cap_c) >= 2, f"seed {seed}: cap destroyed recall"
