@@ -679,6 +679,245 @@ def _q_hapax_counts(spark, sf_dir):
     )
 
 
+# winnowing config: char k-gram width and window size (Schleimer et al.'s
+# guarantee: every substring match of length >= WINNOW_K + WINNOW_W - 1
+# shares at least one selected fingerprint)
+WINNOW_K = 7
+WINNOW_W = 4
+_POS_ENC = 4_294_967_296  # 2^32: (hash, pos) packed into one orderable int64
+
+
+def _q_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): slide a WINNOW_W-wide window over
+    the char-WINNOW_K-gram hashes of each normalized document and keep the
+    window minimum (rightmost on ties); the selected (position, hash) set
+    is a ~2/(W+1)-density sketch with the guarantee that any substring
+    match of length >= K + W - 1 between two documents shares a
+    fingerprint. The local-copy-detection primitive between exact hashing
+    (misses edits) and MinHash (loses positions).
+
+    Cross-engine determinism: the rightmost-min tiebreak is an argmin over
+    (hash, -pos), packed into ONE int64 key — (hash60 % 2^30) * 2^32 +
+    (2^32 - 1 - pos) — so both engines take a plain integer window MIN and
+    decode (pos, fp) from it exactly; no floats anywhere.
+
+    Scale shape: one explode (linear in corpus chars) and one window
+    partitioned BY DOCUMENT — the partition is bounded by document length,
+    never corpus size, so there is no hot key by construction; the final
+    DISTINCT is the only corpus-wide shuffle and it runs on 3 small int
+    columns. At 10^12 docs this is embarrassingly parallel per doc.
+    Reference analog: the canonical-signature stage
+    (tbdedup/dedup/hashing, SURVEY O4) refined from whole-message to
+    positional substring granularity."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.norm_text("text").alias("norm")
+    ).filter(F.length("norm") >= WINNOW_K)
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, length(norm) - {WINNOW_K}),"
+                f" i -> substr(norm, i + 1, {WINNOW_K}))"
+            )
+        ).alias("pos", "gm"),
+    )
+    key = (
+        (text.hash60("gm") % F.lit(1 << 30)) * F.lit(_POS_ENC)
+        + (F.lit(_POS_ENC - 1) - F.col("pos"))
+    ).alias("key")
+    win = F.min("key").over(
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    return (
+        grams.select("doc_id", "pos", key)
+        .select("doc_id", "pos", win.alias("win"))
+        .filter(F.col("pos") >= WINNOW_W - 1)  # complete windows only
+        .select(
+            "doc_id",
+            (F.lit(_POS_ENC - 1) - F.col("win") % F.lit(_POS_ENC)).alias("pos"),
+            F.expr(f"win div {_POS_ENC}").alias("fp"),
+        )
+        .distinct()
+    )
+
+
+# BM25 config (Robertson & Zaragoza 2009 defaults). Constants that feed
+# float expressions are pre-folded in PYTHON and injected verbatim into both
+# engines so neither side's constant folding can differ in the last ulp.
+BM25_QUERIES = (
+    (1, ("slow", "hash", "join")),
+    (2, ("fast", "merge", "sort", "table")),
+    (3, ("window", "filter", "query", "scan")),
+)
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_K1P1 = 1.0 + BM25_K1
+BM25_1MB = 1.0 - BM25_B
+BM25_TOPK = 10
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval (Robertson & Zaragoza 2009, public Okapi
+    formula) for a literal probe-query set over ``documents`` — the
+    quality-retrieval primitive a training pipeline uses to mine
+    target-domain documents from a 100-TB crawl. idf = ln(1 + (N - df +
+    0.5) / (df + 0.5)); tf term with k1=1.2, b=0.75 length normalization.
+
+    Cross-engine determinism: each (term, doc) contribution is quantized
+    to int64 micro-nats BEFORE the per-(query, doc) sum (the dsir
+    fixed-point discipline — float sums are order-dependent, int64 sums
+    are not), and the top-k rank orders by that integer, so rank ties are
+    impossible to get wrong; ln() appears once per TERM (|terms| ~ 10
+    roundings of ~1e-10 boundary exposure, not per row).
+
+    Scale shape: the probe relation is a literal (broadcast by
+    construction); the corpus explode is filtered to probe terms BEFORE
+    the tf groupBy, so the shuffled relation is |matching tokens|, not
+    |corpus tokens|; df and the (N, avgdl) scalars are tiny aggregates
+    broadcast back; the final rank window partitions by query_id over
+    <= |queries| * |matched docs| rows. Reference analog: the planner's
+    regex include predicate (tbdedup/planner/plan.py:96-102) generalized
+    from boolean match to ranked relevance."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(text.norm_text("text"), " ").alias("toks")
+    )
+    dl = d.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+        "query_id int, tok string",
+    )
+    ex = d.select("doc_id", F.explode("toks").alias("tok"))
+    tf = (
+        ex.join(F.broadcast(qt.select("tok").distinct()), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    idf = dfreq.crossJoin(F.broadcast(st)).select(
+        "tok",
+        F.round(
+            F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("idfm"),
+        "avgdl",
+    )
+    contrib = tf.join(dl, "doc_id").join(F.broadcast(idf), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("idfm")
+            * (
+                (F.col("tf") * BM25_K1P1)
+                / (
+                    F.col("tf")
+                    + BM25_K1 * (BM25_1MB + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            )
+        )
+        .cast("long")
+        .alias("cm"),
+    )
+    sc = (
+        contrib.join(F.broadcast(qt), "tok")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("cm").alias("sm"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.col("sm").desc(), "doc_id")
+    )
+    return (
+        sc.select("query_id", "doc_id", "sm", rnk.alias("rank"))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select(
+            "query_id", "doc_id", "rank", (F.col("sm") / 1_000_000.0).alias("score")
+        )
+    )
+
+
+def _q_bigram_lm_nll(spark, sf_dir):
+    """Corpus-trained bigram-LM negative log-likelihood per document — the
+    CCNet/KenLM-style perplexity quality filter (Wenzek et al. 2020,
+    public): train add-1-smoothed bigram probabilities p(w2|w1) =
+    (c(w1 w2) + 1) / (c(w1 .) + V) on the WHOLE corpus, then score each
+    document by its average per-bigram NLL (perplexity = exp(avg_nll)).
+    Low = boilerplate-like, high = out-of-distribution — the standard
+    pre-training quality axis next to dsir's importance weight.
+
+    Cross-engine determinism: ln() is taken once per bigram TYPE and
+    quantized to int64 micro-nats (the dsir fixed-point discipline); the
+    per-doc accumulation is an exact integer sum of count * micro-nats;
+    the only float ops after that are one division by 1e6 and one by the
+    bigram count — both exact-rounded IEEE on identical operands.
+
+    Scale shape: the instance stream collapses FIRST to per-(doc, bigram)
+    counts (map-side combinable), the bigram-type LM table derives from
+    those counts (types << instances — Zipf), the context totals and
+    vocabulary V are tiny aggregates, and the scored types broadcast back
+    onto the per-doc counts; the only corpus-sized shuffles are the two
+    count groupBys. Docs with < 2 tokens score 0.0 with n_bigrams 0 via
+    the left join. Reference analog: the quality gate the planner's regex
+    filter (tbdedup/planner/plan.py:96-102) approximates, learned from
+    the corpus instead of hand-written."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.split(text.norm_text("text"), " ").alias("_ws")
+    )
+    vocab = base.select(F.explode("_ws").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    inst = base.filter(F.size("_ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_ws) - 1),"
+                " i -> struct(element_at(_ws, i) AS w1, element_at(_ws, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    per_doc_type = inst.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    types = per_doc_type.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+    ctx = types.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    lp = (
+        types.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                -F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")).cast("double"))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lpm"),
+        )
+    )
+    per_doc = (
+        per_doc_type.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("k") * F.col("lpm")).alias("m"), F.sum("k").alias("nb"))
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("nb", F.lit(0)).alias("n_bigrams"),
+            F.coalesce(
+                (F.col("m") / 1_000_000.0) / F.col("nb"), F.lit(0.0)
+            ).alias("avg_nll"),
+        )
+    )
+
+
 def _q_paragraph_dedup(spark, sf_dir):
     """Paragraph-level exact dedup, the CCNet/Dolma primitive (Wenzek et al.
     2020; Soldaini et al. 2024, both public): duplicated PARAGRAPHS are
@@ -2937,6 +3176,75 @@ per_doc AS (
 SELECT d.doc_id, COALESCE(p.n_hapax, 0) AS n_hapax
 FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """,
+        "bigram_lm_nll": f"""
+WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+vocab AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+          FROM (SELECT unnest(ws) AS w FROM d)),
+inst AS (SELECT doc_id,
+                unnest(list_transform(generate_series(1, len(ws) - 1), i -> ws[i])) AS w1,
+                unnest(list_transform(generate_series(1, len(ws) - 1), i -> ws[i + 1])) AS w2
+         FROM d WHERE len(ws) >= 2),
+pdt AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
+        FROM inst GROUP BY 1, 2, 3),
+types AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12 FROM pdt GROUP BY 1, 2),
+ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM types GROUP BY 1),
+lp AS (SELECT w1, w2, CAST(round(-ln((c12 + 1) / CAST(c1 + v AS DOUBLE)) * 1000000)
+              AS BIGINT) AS lpm
+       FROM types JOIN ctx USING (w1), vocab),
+pd AS (SELECT doc_id, CAST(sum(k * lpm) AS BIGINT) AS m,
+              CAST(sum(k) AS BIGINT) AS nb
+       FROM pdt JOIN lp USING (w1, w2) GROUP BY 1)
+SELECT documents.doc_id, COALESCE(nb, 0) AS n_bigrams,
+       COALESCE((m / 1000000.0) / nb, 0.0) AS avg_nll
+FROM documents LEFT JOIN pd USING (doc_id)
+""",
+        "bm25_topk": f"""
+WITH q(query_id, tok) AS (VALUES {", ".join(f"({qid}, '{t}')" for qid, terms in BM25_QUERIES for t in terms)}),
+d AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+ex AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM ex
+       WHERE tok IN (SELECT DISTINCT tok FROM q) GROUP BY 1, 2),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+idf AS (SELECT tok, CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1000000)
+               AS BIGINT) AS idfm, avgdl
+        FROM dfreq, st),
+contrib AS (SELECT doc_id, tok,
+                   CAST(round(idfm * ((tf * {BM25_K1P1!r})
+                        / (tf + {BM25_K1!r} * ({BM25_1MB!r}
+                           + {BM25_B!r} * dl / avgdl)))) AS BIGINT) AS cm
+            FROM tf JOIN dl USING (doc_id) JOIN idf USING (tok)),
+sc AS (SELECT query_id, doc_id, sum(cm) AS sm
+       FROM contrib JOIN q USING (tok) GROUP BY 1, 2),
+r AS (SELECT query_id, doc_id, sm,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sm DESC, doc_id) AS rnk
+      FROM sc)
+SELECT CAST(query_id AS INT) AS query_id, doc_id, CAST(rnk AS INT) AS rank,
+       sm / 1000000.0 AS score
+FROM r WHERE rnk <= {BM25_TOPK}
+""",
+        "winnowing_fingerprints": f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents
+           WHERE length({_NORM}) >= {WINNOW_K}),
+g AS (SELECT doc_id, norm,
+             unnest(generate_series(0, length(norm) - {WINNOW_K})) AS pos
+      FROM d),
+kg AS (SELECT doc_id, pos,
+              ({_h60_sql(f"substr(norm, pos + 1, {WINNOW_K})")} % 1073741824)
+                * {_POS_ENC} + ({_POS_ENC - 1} - pos) AS key
+       FROM g),
+w AS (SELECT doc_id, pos,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS win
+      FROM kg)
+SELECT DISTINCT doc_id,
+       CAST({_POS_ENC - 1} - (win % {_POS_ENC}) AS BIGINT) AS pos,
+       CAST(win // {_POS_ENC} AS BIGINT) AS fp
+FROM w WHERE pos >= {WINNOW_W - 1}
+""",
         "scan_filter_project": """
 SELECT l_orderkey, l_linenumber,
        round(l_extendedprice * (1 - l_discount), 4) AS revenue
@@ -3116,6 +3424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_overlap": _q_decontaminate,
         "decontaminate_ngram_join": _q_decontaminate_ngram_join,
         "hapax_counts": _q_hapax_counts,
+        "winnowing_fingerprints": _q_winnowing_fingerprints,
+        "bm25_topk": _q_bm25_topk,
+        "bigram_lm_nll": _q_bigram_lm_nll,
         "paragraph_dedup": _q_paragraph_dedup,
         "stratified_sample": _q_stratified_sample,
         "quality_filter_chain": _q_quality_filter_chain,

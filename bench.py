@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "hapax_counts",
     "decontaminate_overlap",
     "decontaminate_ngram_join",
+    "winnowing_fingerprints",
+    "bm25_topk",
+    "bigram_lm_nll",
     "repetition_scores",
     "tiered_incremental_dedup",
     "snapshot_diff_dedup",

@@ -1,0 +1,163 @@
+"""Round-5 fourth wave: winnowing fingerprints, BM25 retrieval, and the
+bigram-LM quality score — semantic invariants beyond the sf0.01 oracle
+equality of test_entry_oracle.py."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import __spark_entry__ as entry_mod
+from __spark_entry__ import (
+    BM25_QUERIES,
+    BM25_TOPK,
+    WINNOW_K,
+    WINNOW_W,
+    _q_bigram_lm_nll,
+    _q_bm25_topk,
+    _q_winnowing_fingerprints,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- winnowing -----------------------------------------------------------------
+
+
+def test_winnowing_density_guarantee(spark):
+    """The winnowing theorem (Schleimer et al. 2003): every window of W
+    consecutive k-grams contains a selected fingerprint — i.e. the gap
+    between consecutive selected positions within a document is <= W, and
+    the first selection is within the first complete window."""
+    rows = _q_winnowing_fingerprints(spark, SF).collect()
+    assert rows, "corpus produced no fingerprints"
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r.doc_id].append(r.pos)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    norm = {
+        d.doc_id: " ".join(d.text.lower().split()) for d in docs
+    }
+    for doc_id, ps in by_doc.items():
+        ps.sort()
+        assert ps[0] <= WINNOW_W - 1, "first window uncovered"
+        for a, b in zip(ps, ps[1:]):
+            assert b - a <= WINNOW_W, f"doc {doc_id}: gap {b - a} > W"
+        n_grams = len(norm[doc_id]) - WINNOW_K + 1
+        assert ps[-1] >= n_grams - WINNOW_W, "last window uncovered"
+
+
+def test_winnowing_shared_substring_shares_fingerprint(spark):
+    """The match guarantee: two documents sharing a substring of length
+    >= K + W - 1 share at least one fingerprint VALUE. Planted: two docs
+    with a long common middle and different ends."""
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, f"alpha beta {common} gamma delta"),
+        (2, f"zeta eta {common} theta iota"),
+        (3, "completely unrelated text about database query planners"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("_winnow_planted")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        out = _q_winnowing_fingerprints(spark, td).collect()
+    fps = defaultdict(set)
+    for r in out:
+        fps[r.doc_id].add(r.fp)
+    assert len(common) >= WINNOW_K + WINNOW_W - 1
+    assert fps[1] & fps[2], "long shared substring must share a fingerprint"
+
+
+# --- bm25 ----------------------------------------------------------------------
+
+
+def test_bm25_ranks_dense_and_scores_monotone(spark):
+    """Per query: ranks are exactly 1..min(k, matches), scores are
+    non-increasing in rank, every score is positive, and ties on the
+    integer micro-nat score broke by doc_id ascending."""
+    rows = _q_bm25_topk(spark, SF).collect()
+    assert rows
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r.query_id].append(r)
+    assert set(by_q) == {qid for qid, _ in BM25_QUERIES}
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= BM25_TOPK
+        for a, b in zip(rs, rs[1:]):
+            assert a.score > b.score or (
+                a.score == b.score and a.doc_id < b.doc_id
+            )
+        assert all(r.score > 0 for r in rs)
+
+
+def test_bm25_term_stuffed_doc_wins(spark):
+    """A planted doc that is mostly the query's terms outranks a doc with a
+    single mention padded with filler (tf saturation still orders them)."""
+    q_terms = dict(BM25_QUERIES)[1]  # ("slow", "hash", "join")
+    filler = "alpha beta gamma delta epsilon " * 6
+    rows = [
+        (1, ("slow hash join " * 5).strip()),
+        (2, (filler + "slow " + filler).strip()),
+        (3, filler.strip()),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        out = _q_bm25_topk(spark, td).collect()
+    q1 = sorted((r for r in out if r.query_id == 1), key=lambda r: r.rank)
+    assert [r.doc_id for r in q1[:2]] == [1, 2]
+    assert all(r.doc_id != 3 for r in q1), str(q_terms)
+
+
+# --- bigram LM -----------------------------------------------------------------
+
+
+def test_bigram_lm_duplicate_docs_score_identically(spark):
+    """Exact duplicates have identical avg_nll (the score is a pure
+    function of content), and a doc made of the corpus's most common
+    bigram scores strictly lower than a doc of corpus-unique bigrams."""
+    rows = [
+        (1, "slow hash slow hash slow hash slow hash"),
+        (2, "slow hash slow hash slow hash slow hash"),
+        (3, "zeppelin quark mango sphinx velvet cactus"),
+        (4, "slow hash " * 2 + "zeppelin quark"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        out = {r.doc_id: r for r in _q_bigram_lm_nll(spark, td).collect()}
+    assert out[1].avg_nll == out[2].avg_nll
+    assert out[1].n_bigrams == 7
+    assert out[1].avg_nll < out[3].avg_nll
+
+
+def test_bigram_lm_bounds_on_corpus(spark):
+    """Every scored doc: 0 < avg_nll <= ln(total_bigrams + V) + 1e-6 (the
+    add-1 lower bound on p), and n_bigrams == max(0, tokens - 1)."""
+    out = _q_bigram_lm_nll(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    toks = {d.doc_id: " ".join(d.text.lower().split()).split(" ") for d in docs}
+    vocab = {w for ws in toks.values() for w in ws}
+    total = sum(max(0, len(ws) - 1) for ws in toks.values())
+    bound = math.log(total + len(vocab)) + 1e-6
+    for r in out:
+        assert r.n_bigrams == max(0, len(toks[r.doc_id]) - 1)
+        if r.n_bigrams:
+            assert 0 < r.avg_nll <= bound
+        else:
+            assert r.avg_nll == 0.0
+
+
+def test_new_queries_registered_with_oracles():
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    for name in ("winnowing_fingerprints", "bm25_topk", "bigram_lm_nll"):
+        assert name in qs and name in os_
