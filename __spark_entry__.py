@@ -684,7 +684,7 @@ def _q_hapax_counts(spark, sf_dir):
 # shares at least one selected fingerprint)
 WINNOW_K = 7
 WINNOW_W = 4
-_POS_ENC = 4_294_967_296  # 2^32: (hash, pos) packed into one orderable int64
+from tbdedup_spark.operators.winnow import POS_ENC as _POS_ENC  # noqa: E402
 
 
 def _q_winnowing_fingerprints(spark, sf_dir):
@@ -707,38 +707,17 @@ def _q_winnowing_fingerprints(spark, sf_dir):
     never corpus size, so there is no hot key by construction; the final
     DISTINCT is the only corpus-wide shuffle and it runs on 3 small int
     columns. At 10^12 docs this is embarrassingly parallel per doc.
-    Reference analog: the canonical-signature stage
-    (tbdedup/dedup/hashing, SURVEY O4) refined from whole-message to
-    positional substring granularity."""
+    Uses the oracle-grade hash60; operators/winnow.py documents the
+    hash32 throughput path. Reference analog: the canonical-signature
+    stage (tbdedup/dedup/hashing, SURVEY O4) refined from whole-message
+    to positional substring granularity."""
+    from tbdedup_spark.operators import winnow
+
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", text.norm_text("text").alias("norm")
-    ).filter(F.length("norm") >= WINNOW_K)
-    grams = d.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, length(norm) - {WINNOW_K}),"
-                f" i -> substr(norm, i + 1, {WINNOW_K}))"
-            )
-        ).alias("pos", "gm"),
     )
-    key = (
-        (text.hash60("gm") % F.lit(1 << 30)) * F.lit(_POS_ENC)
-        + (F.lit(_POS_ENC - 1) - F.col("pos"))
-    ).alias("key")
-    win = F.min("key").over(
-        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(WINNOW_W - 1), 0)
-    )
-    return (
-        grams.select("doc_id", "pos", key)
-        .select("doc_id", "pos", win.alias("win"))
-        .filter(F.col("pos") >= WINNOW_W - 1)  # complete windows only
-        .select(
-            "doc_id",
-            (F.lit(_POS_ENC - 1) - F.col("win") % F.lit(_POS_ENC)).alias("pos"),
-            F.expr(f"win div {_POS_ENC}").alias("fp"),
-        )
-        .distinct()
+    return winnow.winnow_fingerprints(
+        d, id_col="doc_id", text_col="norm", k=WINNOW_K, w=WINNOW_W
     )
 
 

@@ -1,0 +1,85 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+2003 — the public MOSS algorithm): slide a w-wide window over the char
+k-gram hashes of each document and keep each window's minimum (rightmost
+on ties). The selected (position, hash) set is a ~2/(w+1)-density sketch
+with the guarantee that any substring match of length >= k + w - 1
+between two documents shares at least one fingerprint.
+
+Scale shape: one explode (linear in corpus chars) and one window
+partitioned BY DOCUMENT — the partition is bounded by document length,
+never corpus size, so Window.partitionBy's usual hot-key risk does not
+exist by construction; the k-gram text dies at the projection before the
+exchange (only a packed int64 shuffles); the final distinct is the only
+corpus-wide shuffle and runs on three int columns.
+
+Hash split (the minhash.py md5-vs-crc32 convention): ``hash_fn=text.hash60``
+is the ORACLE-GRADE path (bit-identical in DuckDB — the driver contract's
+``winnowing_fingerprints`` uses it); ``hash_fn=text.hash32`` is the
+THROUGHPUT path (~100x cheaper per gram). Fingerprint VALUES differ across
+hash fns by design; the selection-density and coverage guarantees are hash-
+independent, which tests/test_round5d.py pins for both.
+
+Reference analog: the canonical-signature stage (SURVEY §2 O4,
+/root/reference/tbdedup/dedup/__init__.py hashing) refined from whole-
+message to positional-substring granularity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tbdedup_spark.functions import text
+
+POS_ENC = 4_294_967_296  # 2^32: (hash, pos) packed into one orderable int64
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "norm",
+    k: int = 7,
+    w: int = 4,
+    hash_fn=None,
+) -> DataFrame:
+    """(id, pos, fp) winnowing fingerprints of ``text_col``.
+
+    The rightmost-min tiebreak is an argmin over (hash, -pos) packed into
+    ONE int64 window key — (hash % 2^30) * 2^32 + (2^32 - 1 - pos) — so
+    the window needs no struct comparator and both engines (this and the
+    DuckDB oracle mirror) take a plain integer MIN. Documents shorter than
+    k chars yield no rows; only complete windows select (pos >= w - 1).
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    hash_fn = text.hash60 if hash_fn is None else hash_fn
+    # docs shorter than k yield no grams; the filter must come BEFORE the
+    # explode — sequence(0, negative) is DESCENDING in Spark and substr
+    # with a negative start counts from the string end (garbage grams)
+    grams = df.filter(F.length(text_col) >= k).select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, length({text_col}) - {k}),"
+                f" i -> substr({text_col}, i + 1, {k}))"
+            )
+        ).alias("pos", "gm"),
+    )
+    key: Column = (
+        (hash_fn("gm") % F.lit(1 << 30)) * F.lit(POS_ENC)
+        + (F.lit(POS_ENC - 1) - F.col("pos"))
+    ).alias("key")
+    win = F.min("key").over(
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), 0)
+    )
+    return (
+        grams.select(id_col, "pos", key)
+        .select(id_col, "pos", win.alias("win"))
+        .filter(F.col("pos") >= w - 1)
+        .select(
+            id_col,
+            (F.lit(POS_ENC - 1) - F.col("win") % F.lit(POS_ENC)).alias("pos"),
+            F.expr(f"win div {POS_ENC}").alias("fp"),
+        )
+        .distinct()
+    )

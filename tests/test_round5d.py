@@ -71,6 +71,41 @@ def test_winnowing_shared_substring_shares_fingerprint(spark):
     assert fps[1] & fps[2], "long shared substring must share a fingerprint"
 
 
+def test_winnowing_throughput_hash_keeps_guarantees(spark):
+    """The hash32 throughput path selects a different fingerprint SET (by
+    design) but the structural guarantees are hash-independent: gap <= W
+    within each doc, first/last windows covered, and density within the
+    theoretical band."""
+    from tbdedup_spark.functions import text as tfn
+    from tbdedup_spark.operators.winnow import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id", "trim(regexp_replace(lower(text), '\\\\s+', ' ')) AS norm"
+    )
+    rows = winnow_fingerprints(
+        docs, k=WINNOW_K, w=WINNOW_W, hash_fn=tfn.hash32
+    ).collect()
+    assert rows
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r.doc_id].append(r.pos)
+    n_sel = 0
+    n_grams_total = 0
+    norm = {d.doc_id: d.norm for d in docs.collect()}
+    for doc_id, ps in by_doc.items():
+        ps.sort()
+        assert ps[0] <= WINNOW_W - 1
+        for a, b in zip(ps, ps[1:]):
+            assert b - a <= WINNOW_W
+        n_grams = len(norm[doc_id]) - WINNOW_K + 1
+        assert ps[-1] >= n_grams - WINNOW_W
+        n_sel += len(ps)
+        n_grams_total += n_grams
+    density = n_sel / n_grams_total
+    # theory: expected 2/(w+1) = 0.4; hard bounds are (1/w, 1]
+    assert 1 / WINNOW_W <= density <= 0.75
+
+
 # --- bm25 ----------------------------------------------------------------------
 
 
