@@ -721,6 +721,51 @@ def _q_winnowing_fingerprints(spark, sf_dir):
     )
 
 
+# winnow_dup_pairs config: fingerprints hotter than WINNOW_DF_CAP docs are
+# template/boilerplate grams dropped BEFORE the pair join (the cap is part
+# of the semantics, mirrored by the oracle); measured at sf0.01 the planted
+# near-dups sit at fp-Jaccard >= 0.9 vs a < 0.2 noise floor, so TAU = 0.5
+# splits the modes with wide margin on both sides.
+WINNOW_DF_CAP = 50
+WINNOW_MIN_SHARED = 3
+WINNOW_TAU = 0.5
+
+
+def _q_winnow_dup_pairs(spark, sf_dir):
+    """MOSS-style near-dup pairs over winnowing fingerprints
+    (operators/winnow.py): document pairs whose selected-fingerprint sets
+    overlap with Jaccard >= WINNOW_TAU, after dropping fingerprints hotter
+    than WINNOW_DF_CAP documents. The partial-overlap detector between
+    exact dedup (whole-doc hash) and MinHash (bag-of-shingles, no
+    positions): any shared span of >= K + W - 1 chars contributes
+    fingerprints, so plagiarized/quoted spans register even when the
+    documents differ elsewhere.
+
+    Scale shape: with a CONSTANT df cap the candidate volume is bounded by
+    df_cap x |kept (doc, fp) rows| — linear in corpus size — and no per-fp
+    join group exceeds df_cap rows, so the equi-join has no hot key by
+    construction. fp_jaccard is the raw double of an exact-integer
+    division: bit-identical in DuckDB, no rounding-mode exposure.
+
+    Reference analog: the dedup pair stage (SURVEY §2 O8-O10) refined to
+    partial-overlap granularity."""
+    from tbdedup_spark.operators import winnow
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.norm_text("text").alias("norm")
+    )
+    return winnow.winnow_dup_pairs(
+        d,
+        id_col="doc_id",
+        text_col="norm",
+        k=WINNOW_K,
+        w=WINNOW_W,
+        df_cap=WINNOW_DF_CAP,
+        min_shared=WINNOW_MIN_SHARED,
+        tau=WINNOW_TAU,
+    )
+
+
 # BM25 config (Robertson & Zaragoza 2009 defaults). Constants that feed
 # float expressions are pre-folded in PYTHON and injected verbatim into both
 # engines so neither side's constant folding can differ in the last ulp.
@@ -3224,6 +3269,35 @@ SELECT DISTINCT doc_id,
        CAST(win // {_POS_ENC} AS BIGINT) AS fp
 FROM w WHERE pos >= {WINNOW_W - 1}
 """,
+        "winnow_dup_pairs": f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents
+           WHERE length({_NORM}) >= {WINNOW_K}),
+g AS (SELECT doc_id, norm,
+             unnest(generate_series(0, length(norm) - {WINNOW_K})) AS pos
+      FROM d),
+kg AS (SELECT doc_id, pos,
+              ({_h60_sql(f"substr(norm, pos + 1, {WINNOW_K})")} % 1073741824)
+                * {_POS_ENC} + ({_POS_ENC - 1} - pos) AS key
+       FROM g),
+w AS (SELECT doc_id, pos,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS win
+      FROM kg),
+fsets AS (SELECT DISTINCT doc_id, CAST(win // {_POS_ENC} AS BIGINT) AS fp
+          FROM w WHERE pos >= {WINNOW_W - 1}),
+dfc AS (SELECT fp FROM fsets GROUP BY fp
+        HAVING count(*) <= {WINNOW_DF_CAP}),
+kept AS (SELECT f.doc_id, f.fp FROM fsets f JOIN dfc USING (fp)),
+sz AS (SELECT doc_id, count(*) AS nfp FROM kept GROUP BY doc_id),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED})
+SELECT id_a, id_b, n_shared,
+       CAST(n_shared AS DOUBLE) / (sa.nfp + sb.nfp - n_shared) AS fp_jaccard
+FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.nfp + sb.nfp - n_shared) >= {WINNOW_TAU}
+""",
         "scan_filter_project": """
 SELECT l_orderkey, l_linenumber,
        round(l_extendedprice * (1 - l_discount), 4) AS revenue
@@ -3404,6 +3478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngram_join": _q_decontaminate_ngram_join,
         "hapax_counts": _q_hapax_counts,
         "winnowing_fingerprints": _q_winnowing_fingerprints,
+        "winnow_dup_pairs": _q_winnow_dup_pairs,
         "bm25_topk": _q_bm25_topk,
         "bigram_lm_nll": _q_bigram_lm_nll,
         "paragraph_dedup": _q_paragraph_dedup,

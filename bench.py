@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "decontaminate_overlap",
     "decontaminate_ngram_join",
     "winnowing_fingerprints",
+    "winnow_dup_pairs",
     "bm25_topk",
     "bigram_lm_nll",
     "repetition_scores",

@@ -83,3 +83,74 @@ def winnow_fingerprints(
         )
         .distinct()
     )
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "norm",
+    k: int = 7,
+    w: int = 4,
+    df_cap: int = 50,
+    min_shared: int = 3,
+    tau: float = 0.5,
+    hash_fn=None,
+) -> DataFrame:
+    """MOSS-style near-dup pairs: (id_a, id_b, n_shared, fp_jaccard) for
+    document pairs whose winnowing-fingerprint sets overlap with Jaccard
+    >= ``tau`` (after sharing at least ``min_shared`` fingerprints).
+
+    Fingerprints whose document frequency exceeds ``df_cap`` are dropped
+    BEFORE the pair join — they are boilerplate/template grams that carry
+    no dup signal and would each fan out O(df^2) candidate pairs. With a
+    constant cap the candidate volume is bounded by df_cap x |kept rows|,
+    i.e. LINEAR in corpus size: the df computation, the pair join, and the
+    per-pair count are all plain shuffles on int keys, and no per-fp group
+    exceeds df_cap rows, so there is no hot key downstream of the filter.
+    The cap is part of the SEMANTICS (set sizes are post-filter), which the
+    DuckDB oracle mirrors exactly — the embedding_neardup_capped precedent.
+
+    ``fp_jaccard`` is emitted as the RAW double of an exact-integer
+    division — bit-identical in any IEEE engine, immune to the DuckDB
+    HALF_EVEN vs Spark HALF_UP rounding split at 6-dp boundaries (which a
+    ratio of small ints CAN sit on, e.g. 3/128).
+
+    Reference analog: the dedup pair detection over canonical signatures
+    (SURVEY §2 O8-O10) refined to partial-overlap granularity — catches
+    documents sharing long spans that whole-document hashing misses.
+    """
+    if not (0.0 < tau <= 1.0):
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    if df_cap < 1 or min_shared < 1:
+        raise ValueError(f"df_cap and min_shared must be >= 1")
+    sets = (
+        winnow_fingerprints(df, id_col, text_col, k, w, hash_fn)
+        .select(id_col, "fp")
+        .distinct()
+    )
+    rare = (
+        sets.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter(F.col("dfreq") <= df_cap)
+        .select("fp")
+    )
+    kept = sets.join(rare, "fp")
+    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("nfp"))
+    a = kept.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = kept.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("nfp_a") + F.col("nfp_b") - F.col("n_shared")
+    )
+    return (
+        pairs.join(sizes.select(F.col(id_col).alias("id_a"), F.col("nfp").alias("nfp_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("nfp").alias("nfp_b")), "id_b")
+        .select("id_a", "id_b", "n_shared", jac.alias("fp_jaccard"))
+        .filter(F.col("fp_jaccard") >= tau)
+    )

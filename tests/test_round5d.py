@@ -194,5 +194,64 @@ def test_bigram_lm_bounds_on_corpus(spark):
 
 def test_new_queries_registered_with_oracles():
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
-    for name in ("winnowing_fingerprints", "bm25_topk", "bigram_lm_nll"):
+    for name in (
+        "winnowing_fingerprints",
+        "bm25_topk",
+        "bigram_lm_nll",
+        "winnow_dup_pairs",
+    ):
         assert name in qs and name in os_
+
+
+# --- winnow_dup_pairs ------------------------------------------------------
+
+
+def test_winnow_dup_pairs_planted_span(spark):
+    """Two documents that differ everywhere EXCEPT one long shared span are
+    paired (the partial-overlap case whole-document hashing misses), while
+    unrelated documents are not; boilerplate present in EVERY doc is
+    suppressed by the df cap and creates no pairs on its own."""
+    from tbdedup_spark.operators.winnow import winnow_dup_pairs
+
+    span = "the quick brown fox jumps over the lazy dog again and again"
+    boiler = "all rights reserved contact us at example dot com"
+    rows = [
+        (1, f"alpha bravo charlie delta echo {span} foxtrot golf {boiler}"),
+        (2, f"hotel india juliet kilo lima {span} mike november {boiler}"),
+        (3, f"oscar papa quebec romeo sierra tango uniform victor {boiler}"),
+        (4, f"whiskey xray yankee zulu one two three four five {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, norm string")
+    got = {
+        (r.id_a, r.id_b): r
+        for r in winnow_dup_pairs(df, df_cap=3, min_shared=3, tau=0.15).collect()
+    }
+    assert (1, 2) in got, "shared-span pair must be detected"
+    assert all(p == (1, 2) for p in got), f"false pairs: {set(got) - {(1, 2)}}"
+    r = got[(1, 2)]
+    assert r.n_shared >= 3 and 0.15 <= r.fp_jaccard <= 1.0
+
+
+def test_winnow_dup_pairs_df_cap_suppresses_hot_fps(spark):
+    """With df_cap=1 every shared fingerprint is dropped, so NO pairs
+    survive regardless of similarity — the cap is semantic, not advisory."""
+    from tbdedup_spark.operators.winnow import winnow_dup_pairs
+
+    rows = [(1, "identical twin document text"), (2, "identical twin document text")]
+    df = spark.createDataFrame(rows, "doc_id long, norm string")
+    assert winnow_dup_pairs(df, df_cap=1, min_shared=1, tau=0.01).count() == 0
+    # and with a permissive cap the identical pair IS found at jaccard 1.0
+    full = winnow_dup_pairs(df, df_cap=2, min_shared=1, tau=0.99).collect()
+    assert len(full) == 1 and full[0].fp_jaccard == 1.0
+
+
+def test_winnow_dup_pairs_param_guards(spark):
+    from tbdedup_spark.operators.winnow import winnow_dup_pairs
+
+    df = spark.createDataFrame([(1, "abcdefgh")], "doc_id long, norm string")
+    for kwargs in ({"tau": 0.0}, {"tau": 1.5}, {"df_cap": 0}, {"min_shared": 0}):
+        try:
+            winnow_dup_pairs(df, **kwargs)
+            assert False, f"expected ValueError for {kwargs}"
+        except ValueError:
+            pass
