@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tbdedup_spark.functions import text, vectors
+from tbdedup_spark.functions.url import TRACKING_PARAM_RE as _TRACK_RE
 from tbdedup_spark.functions.pii import EMAIL_RE as _PII_EMAIL
 from tbdedup_spark.functions.pii import IPV4_RE as _PII_IPV4
 from tbdedup_spark.functions.pii import PHONE_RE as _PII_PHONE
@@ -763,6 +764,56 @@ def _q_winnow_dup_pairs(spark, sf_dir):
         df_cap=WINNOW_DF_CAP,
         min_shared=WINNOW_MIN_SHARED,
         tau=WINNOW_TAU,
+    )
+
+
+# Deterministic URL corpus for url_canonical_dedup, written in the SQL
+# dialect intersection (concat / CASE / % / CAST AS STRING) so BOTH engines
+# synthesize bit-identical strings from doc_id. 200 canonical resources,
+# spread across host-case, explicit-:443, trailing-slash, param-order,
+# tracking-junk, and fragment variants — one of each equivalence the
+# canonicalizer must collapse.
+_URL_SYNTH = """concat(
+  'https://',
+  CASE doc_id % 3 WHEN 0 THEN 'news.example.com'
+                  WHEN 1 THEN 'NEWS.Example.COM'
+                  ELSE 'news.example.com:443' END,
+  '/articles/item-', CAST(doc_id % 200 AS STRING),
+  CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END,
+  '?',
+  CASE WHEN doc_id % 2 = 0
+       THEN concat('id=', CAST(doc_id % 200 AS STRING), '&lang=en')
+       ELSE concat('lang=en&id=', CAST(doc_id % 200 AS STRING)) END,
+  CASE WHEN doc_id % 4 = 0 THEN '&utm_source=feed&fbclid=abc123' ELSE '' END,
+  CASE WHEN doc_id % 5 = 0 THEN '#comments' ELSE '' END
+)"""
+
+
+def _q_url_canonical_dedup(spark, sf_dir):
+    """URL-level dedup on the canonical form (functions/url.py) — the
+    crawl-frontier stage that collapses case, default ports, trailing
+    slashes, fragments, tracking params, and query-param order into one
+    fetch key BEFORE any content is read, and serves as tier 0 of the
+    dedup cascade after ingest. The corpus is synthesized deterministically
+    from doc_id in BOTH engines (per the no-external-data rule), one
+    variant family per equivalence the canonicalizer must collapse.
+
+    Scale shape: canonicalization is a pure whole-stage-codegen map
+    (regexp + split + higher-order filter + array_sort — no UDF, no
+    Python); the groupBy on the canonical key is the only shuffle, and at
+    crawl scale it is exactly the dedup shuffle you must pay. Key skew
+    mirrors true resource popularity; a hot resource is a count, not a
+    fanout, because aggregates here are map-side combinable."""
+    from tbdedup_spark.functions import url as url_fns
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_SYNTH).alias("url")
+    )
+    c = d.select("doc_id", "url", url_fns.canonical_url("url").alias("canonical_url"))
+    return c.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("url").alias("n_variants"),
     )
 
 
@@ -3298,6 +3349,44 @@ SELECT id_a, id_b, n_shared,
 FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
 WHERE CAST(n_shared AS DOUBLE) / (sa.nfp + sb.nfp - n_shared) >= {WINNOW_TAU}
 """,
+        # operation-for-operation mirror of functions/url.py:canonical_url
+        # over the same _URL_SYNTH corpus (both engines synthesize identical
+        # strings from doc_id)
+        "url_canonical_dedup": f"""
+WITH u AS (SELECT doc_id, {_URL_SYNTH} AS url FROM documents),
+s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS no_frag FROM u),
+s2 AS (SELECT doc_id, url,
+              lower(regexp_extract(no_frag, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+              regexp_replace(no_frag, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS after
+       FROM s1),
+s3 AS (SELECT *, lower(regexp_extract(after, '^([^/?]+)', 1)) AS hostport FROM s2),
+s4 AS (SELECT *,
+              CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                   WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+                   ELSE hostport END AS host,
+              substr(after, length(hostport) + 1) AS pathq
+       FROM s3),
+s5 AS (SELECT *, regexp_extract(pathq, '^([^?]*)', 1) AS path FROM s4),
+s6 AS (SELECT *,
+              CASE WHEN length(pathq) > length(path)
+                   THEN substr(pathq, length(path) + 2) ELSE '' END AS qs
+       FROM s5),
+s7 AS (SELECT doc_id, url, scheme, host,
+              regexp_replace(path, '/+$', '') AS cpath,
+              list_sort(list_filter(string_split(qs, '&'),
+                        p -> p <> '' AND NOT regexp_matches(p, '{_TRACK_RE}'))) AS kept
+       FROM s6),
+c AS (SELECT doc_id, url,
+             concat(scheme, '://', host, cpath,
+                    CASE WHEN len(kept) > 0
+                         THEN concat('?', array_to_string(kept, '&'))
+                         ELSE '' END) AS canonical_url
+      FROM s7)
+SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS rep_id,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+FROM c GROUP BY 1
+""",
         "scan_filter_project": """
 SELECT l_orderkey, l_linenumber,
        round(l_extendedprice * (1 - l_discount), 4) AS revenue
@@ -3479,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hapax_counts": _q_hapax_counts,
         "winnowing_fingerprints": _q_winnowing_fingerprints,
         "winnow_dup_pairs": _q_winnow_dup_pairs,
+        "url_canonical_dedup": _q_url_canonical_dedup,
         "bm25_topk": _q_bm25_topk,
         "bigram_lm_nll": _q_bigram_lm_nll,
         "paragraph_dedup": _q_paragraph_dedup,

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "decontaminate_ngram_join",
     "winnowing_fingerprints",
     "winnow_dup_pairs",
+    "url_canonical_dedup",
     "bm25_topk",
     "bigram_lm_nll",
     "repetition_scores",
