@@ -817,6 +817,130 @@ def _q_url_canonical_dedup(spark, sf_dir):
     )
 
 
+# Deterministic HTML wrapping for html_text_extract, written in the SQL
+# dialect intersection so BOTH engines synthesize identical markup from
+# (doc_id, text): head with title/script/style, nav + comment + footer
+# boilerplate, the doc text in <p>, and an entity-rich trailing sentence.
+_HTML_SYNTH = """concat(
+  '<html><head><title>Doc ', CAST(doc_id AS STRING), '</title>',
+  '<script type="text/javascript">var t = 1 < 2 && "x";</script>',
+  '<style>body { color: #000; }</style></head><body>',
+  '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>',
+  '<!-- crawl id ', CAST(doc_id AS STRING), ' -->',
+  '<h1>Item ', CAST(doc_id % 50 AS STRING), '</h1>',
+  '<p>', text, '</p>',
+  '<p>Fish &amp; chips &lt;tasty&gt; &quot;quoted&quot; it&#39;s&nbsp;done</p>',
+  '<footer>&copy; 2026 Example</footer></body></html>'
+)"""
+
+
+def _html_text_sql(x: str) -> str:
+    """DuckDB mirror of functions/html.py:html_to_text — the SAME patterns
+    verbatim (Java-regex/RE2 intersection), with DuckDB's explicit 'g'
+    flag standing in for Spark's replace-all default."""
+    from tbdedup_spark.functions.html import ENTITIES, STRIP_PATTERNS
+
+    out = x
+    for pat, rep in STRIP_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    for ent, ch in ENTITIES:
+        lit = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{lit}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+def _q_html_text_extract(spark, sf_dir):
+    """HTML -> visible text (functions/html.py) — the first transform of a
+    web-crawl pipeline: script/style/head and boilerplate containers
+    (nav/header/footer/aside) die, remaining tags become spaces, common
+    entities unescape, whitespace collapses. Markup is synthesized
+    deterministically from (doc_id, text) in BOTH engines (per the
+    no-external-data rule); the oracle applies the SAME regex chain
+    verbatim, so extraction semantics are pinned cross-engine.
+
+    Scale shape: a pure whole-stage-codegen map over the scan — zero
+    shuffles, zero Python; cost is proportional to bytes scanned, the
+    shape that saturates NVMe/S3 read bandwidth at 100 TB. A DOM-fidelity
+    extractor would ride mapInPandas behind the same column contract (the
+    multimodal decode pattern)."""
+    from tbdedup_spark.functions.html import html_to_text
+
+    d = _t(spark, sf_dir, "documents")
+    clean = html_to_text(F.expr(_HTML_SYNTH))
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).cast("long").alias("n_chars_clean"),
+    )
+
+
+def _q_tier_attribution(spark, sf_dir):
+    """Per-tier marginal-catch report for the dedup cascade — the planning
+    artifact tiered dedup exists to produce: walking the ladder cheapest
+    tier first (exact signature -> SimHash Hamming -> MinHash/LSH), how
+    many documents does each tier newly catch, and how many survive as
+    unique? A doc is 'caught' at the FIRST tier that links it to any
+    earlier (smaller-id) document, so n_docs sums to the corpus and each
+    tier's row is its marginal value — the number you read before deciding
+    whether the next (more expensive) tier pays for itself at 100 TB.
+
+    Reuses the standalone detector queries' exact configs (same sha256
+    signature as exact_dedup_representatives, same SIM_* and minhash
+    constants), so the report is consistent with the pair queries by
+    construction. Scale shape: the detector subtrees dominate and are the
+    same linear shapes audited in BENCH/PLANS.md; attribution itself adds
+    three left joins on int doc_id (the caught sets, each <= corpus) and a
+    4-group aggregate. At production scale you would feed the operator the
+    already-materialized pair tables instead of recomputing — the
+    composition is query-level, not a new detector."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.norm_text("text").alias("norm")
+    )
+    sigs = d.select("doc_id", F.sha2(F.encode("norm", "utf-8"), 256).alias("sig"))
+    emin = sigs.groupBy("sig").agg(F.min("doc_id").alias("min_id"))
+    ex_c = (
+        sigs.join(emin, "sig").filter(F.col("doc_id") > F.col("min_id")).select("doc_id")
+    )
+    sh_c = _q_simhash(spark, sf_dir).select(F.col("b_id").alias("doc_id")).distinct()
+    mh_c = (
+        _minhash_pairs_df(spark, sf_dir).select(F.col("b_id").alias("doc_id")).distinct()
+    )
+    lbl = (
+        d.select("doc_id")
+        .join(ex_c.withColumn("e", F.lit(1)), "doc_id", "left")
+        .join(sh_c.withColumn("s", F.lit(1)), "doc_id", "left")
+        .join(mh_c.withColumn("m", F.lit(1)), "doc_id", "left")
+    )
+    tier = (
+        F.when(F.col("e").isNotNull(), F.lit("exact"))
+        .when(F.col("s").isNotNull(), F.lit("simhash"))
+        .when(F.col("m").isNotNull(), F.lit("minhash"))
+        .otherwise(F.lit("unique"))
+    )
+    rank = (
+        F.when(F.col("e").isNotNull(), F.lit(1))
+        .when(F.col("s").isNotNull(), F.lit(2))
+        .when(F.col("m").isNotNull(), F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    counts = (
+        lbl.select(tier.alias("tier"), rank.alias("tier_rank"))
+        .groupBy("tier", "tier_rank")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    # fixed 4-row spine so a tier that catches nothing still reports 0 —
+    # "exact caught zero" is exactly the datum the report exists to show
+    spine = spark.createDataFrame(
+        [("exact", 1), ("simhash", 2), ("minhash", 3), ("unique", 4)],
+        "tier string, tier_rank int",
+    )
+    return spine.join(counts, ["tier", "tier_rank"], "left").select(
+        "tier",
+        "tier_rank",
+        F.coalesce(F.col("n_docs"), F.lit(0).cast("long")).alias("n_docs"),
+    )
+
+
 # BM25 config (Robertson & Zaragoza 2009 defaults). Constants that feed
 # float expressions are pre-folded in PYTHON and injected verbatim into both
 # engines so neither side's constant folding can differ in the last ulp.
@@ -3387,6 +3511,43 @@ SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS rep_id,
        CAST(count(DISTINCT url) AS BIGINT) AS n_variants
 FROM c GROUP BY 1
 """,
+        # first-tier-wins marginal catch: detector subqueries are the SAME
+        # SQL as the standalone pair queries (nested WITH scopes are local,
+        # so their CTE names cannot collide with the outer t-prefixed ones)
+        "tier_attribution": f"""
+WITH tdoc AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+tsig AS (SELECT doc_id, sha256(norm) AS sig FROM tdoc),
+temin AS (SELECT sig, min(doc_id) AS min_id FROM tsig GROUP BY sig),
+tex AS (SELECT doc_id FROM tsig JOIN temin USING (sig) WHERE doc_id > min_id),
+tshp AS (SELECT DISTINCT b_id AS doc_id FROM ({_simhash_sql()})),
+tmhp AS (SELECT DISTINCT b_id AS doc_id
+         FROM (WITH {mh} SELECT a_id, b_id FROM mh_pairs)),
+tlbl AS (SELECT t.doc_id,
+                CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                     WHEN s.doc_id IS NOT NULL THEN 'simhash'
+                     WHEN m.doc_id IS NOT NULL THEN 'minhash'
+                     ELSE 'unique' END AS tier,
+                CASE WHEN e.doc_id IS NOT NULL THEN 1
+                     WHEN s.doc_id IS NOT NULL THEN 2
+                     WHEN m.doc_id IS NOT NULL THEN 3
+                     ELSE 4 END AS tier_rank
+         FROM tdoc t LEFT JOIN tex e ON t.doc_id = e.doc_id
+                     LEFT JOIN tshp s ON t.doc_id = s.doc_id
+                     LEFT JOIN tmhp m ON t.doc_id = m.doc_id),
+tcnt AS (SELECT tier, tier_rank, count(*) AS n FROM tlbl GROUP BY 1, 2),
+tspine(tier, tier_rank) AS (VALUES ('exact', 1), ('simhash', 2),
+                                   ('minhash', 3), ('unique', 4))
+SELECT sp.tier, CAST(sp.tier_rank AS INTEGER) AS tier_rank,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_docs
+FROM tspine sp LEFT JOIN tcnt c
+  ON sp.tier = c.tier AND sp.tier_rank = c.tier_rank
+""",
+        "html_text_extract": f"""
+WITH h AS (SELECT doc_id, {_HTML_SYNTH} AS html FROM documents),
+x AS (SELECT doc_id, {_html_text_sql('html')} AS clean_text FROM h)
+SELECT doc_id, clean_text, CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+FROM x
+""",
         "scan_filter_project": """
 SELECT l_orderkey, l_linenumber,
        round(l_extendedprice * (1 - l_discount), 4) AS revenue
@@ -3569,6 +3730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": _q_winnowing_fingerprints,
         "winnow_dup_pairs": _q_winnow_dup_pairs,
         "url_canonical_dedup": _q_url_canonical_dedup,
+        "tier_attribution": _q_tier_attribution,
+        "html_text_extract": _q_html_text_extract,
         "bm25_topk": _q_bm25_topk,
         "bigram_lm_nll": _q_bigram_lm_nll,
         "paragraph_dedup": _q_paragraph_dedup,

@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "winnowing_fingerprints",
     "winnow_dup_pairs",
     "url_canonical_dedup",
+    "tier_attribution",
+    "html_text_extract",
     "bm25_topk",
     "bigram_lm_nll",
     "repetition_scores",

@@ -245,6 +245,46 @@ def test_winnow_dup_pairs_df_cap_suppresses_hot_fps(spark):
     assert len(full) == 1 and full[0].fp_jaccard == 1.0
 
 
+# --- tier_attribution ------------------------------------------------------
+
+
+def test_tier_attribution_partitions_corpus(spark):
+    """Always exactly the 4 spine rows; n_docs sums to the corpus size
+    (first-tier-wins => the tiers partition the docs); counts agree with
+    the standalone detector queries' caught sets."""
+    from __spark_entry__ import _q_simhash, _q_tier_attribution
+
+    rows = {r.tier: r for r in _q_tier_attribution(spark, SF).collect()}
+    assert set(rows) == {"exact", "simhash", "minhash", "unique"}
+    assert [rows[t].tier_rank for t in ("exact", "simhash", "minhash", "unique")] == [1, 2, 3, 4]
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows.values()) == n_docs
+    # no exact dups in the synthetic corpus; simhash count == its distinct
+    # caught set (nothing for exact to shadow)
+    sh_caught = {r.b_id for r in _q_simhash(spark, SF).collect()}
+    assert rows["exact"].n_docs == 0
+    assert rows["simhash"].n_docs == len(sh_caught)
+
+
+def test_tier_attribution_planted_exact_dup(spark, tmp_path):
+    """A planted exact duplicate lands in tier 'exact' and is NOT counted
+    again by the near tiers, even though simhash would also catch it."""
+    import tempfile
+
+    from __spark_entry__ import _q_tier_attribution
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "a completely different and unrelated document here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    td = str(tmp_path / "docs")
+    df.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+    out = {r.tier: r.n_docs for r in _q_tier_attribution(spark, td).collect()}
+    assert out == {"exact": 1, "simhash": 0, "minhash": 0, "unique": 2}
+
+
 def test_winnow_dup_pairs_param_guards(spark):
     from tbdedup_spark.operators.winnow import winnow_dup_pairs
 
@@ -255,3 +295,35 @@ def test_winnow_dup_pairs_param_guards(spark):
             assert False, f"expected ValueError for {kwargs}"
         except ValueError:
             pass
+
+
+# --- html_to_text -----------------------------------------------------------
+
+
+def test_html_to_text_strips_boilerplate_and_unescapes(spark):
+    """Script/style/head/nav/footer/comments vanish; tags become spaces;
+    entities unescape (&amp; last, so &amp;lt; -> literal '&lt;' text);
+    whitespace collapses."""
+    from tbdedup_spark.functions.html import html_to_text
+
+    html = (
+        "<html><head><title>T</title><script>var a = 1 < 2;</script>"
+        "<style>p { color: red }</style></head><body>"
+        "<nav><a href='/'>Home</a></nav><!-- hidden -->"
+        "<h1>Hello</h1>\n\n<p>Fish &amp; chips &lt;b&gt; &amp;lt;raw</p>"
+        "<footer>foot</footer></body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    out = df.select(html_to_text("html").alias("t")).collect()[0].t
+    assert out == 'Hello Fish & chips <b> &lt;raw'
+
+
+def test_html_to_text_multiline_blocks(spark):
+    """(?s) dotall: blocks spanning newlines still die; header element
+    survives the <head> pattern (the \\b boundary)."""
+    from tbdedup_spark.functions.html import html_to_text
+
+    html = "<script>\nline1\nline2\n</script><header>site menu</header><p>body text</p>"
+    df = spark.createDataFrame([(html,)], "html string")
+    out = df.select(html_to_text("html").alias("t")).collect()[0].t
+    assert out == "body text"
