@@ -874,6 +874,68 @@ def _q_html_text_extract(spark, sf_dir):
     )
 
 
+CRAWL_STRIDE = 4  # crawl_id = doc_id * stride + mirror; mirrors/page = 1..3
+
+
+def _q_crawl_dedup_pipeline(spark, sf_dir):
+    """The engine's user story as ONE fused plan: crawl -> extract ->
+    quality-gate -> exact-dedup. A synthetic crawl fetches each page from
+    1..3 mirror URLs (doc_id % 3 + 1 fetches, crawl_id = doc_id*4+mirror —
+    the duplication class url_canonical_dedup models at the frontier and
+    this pipeline must catch post-fetch), wraps it in the deterministic
+    markup of html_text_extract, extracts visible text, applies the
+    quality_filter_chain rules to the EXTRACTED text (a real pipeline
+    filters what it would train on, not raw markup), and exact-dedups on
+    the normalized clean text — representatives keep the smallest crawl_id
+    (first-fetch-wins, the reference dedup writer's rule,
+    /root/reference/tbdedup/dedup/__init__.py:140-157).
+
+    Scale shape: scan -> explode(<=3) -> pure-map extract+filter -> ONE
+    groupBy shuffle on the 32-byte signature. Everything upstream of the
+    shuffle is whole-stage codegen in a single stage (mirror fan-out is a
+    Generate, not a join), the text column dies at the signature
+    projection, and the shuffled rows are (sig, crawl_id, n_tok) — ~48
+    bytes/fetch regardless of page size. At 10^12 fetches this is the
+    bandwidth-bound shape: bytes-scanned-dominated map, then a dedup
+    exchange whose volume is fetch COUNT, not corpus bytes. The oracle
+    restates every stage (same markup synthesis, same regex chain, same
+    first-fail rules, same sha256) so the composition is pinned end-to-end,
+    not just its pieces."""
+    from tbdedup_spark.functions.html import html_to_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fetch = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % (CRAWL_STRIDE - 1)).cast("int"))
+        ).alias("mirror"),
+    )
+    page = fetch.select(
+        (F.col("doc_id") * CRAWL_STRIDE + F.col("mirror")).alias("crawl_id"),
+        html_to_text(F.expr(_HTML_SYNTH)).alias("clean"),
+    )
+    reason = text.quality_filter_reason(
+        "clean",
+        min_tokens=QF_MIN_TOKENS,
+        max_tokens=QF_MAX_TOKENS,
+        min_mean_tok=QF_MEAN_TOK_MIN,
+        max_mean_tok=QF_MEAN_TOK_MAX,
+        max_punct=QF_MAX_PUNCT,
+        min_stopword=QF_MIN_STOPWORD,
+    )
+    sig = page.filter(reason == "pass").select(
+        "crawl_id",
+        F.sha2(F.encode(text.norm_text("clean"), "utf-8"), 256).alias("sig"),
+        text.token_count("clean").alias("n_tok"),
+    )
+    return sig.groupBy("sig").agg(
+        F.min("crawl_id").alias("rep_crawl_id"),
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.min("n_tok").alias("n_tokens_clean"),
+    )
+
+
 def _q_tier_attribution(spark, sf_dir):
     """Per-tier marginal-catch report for the dedup cascade — the planning
     artifact tiered dedup exists to produce: walking the ladder cheapest
@@ -3548,6 +3610,39 @@ x AS (SELECT doc_id, {_html_text_sql('html')} AS clean_text FROM h)
 SELECT doc_id, clean_text, CAST(length(clean_text) AS BIGINT) AS n_chars_clean
 FROM x
 """,
+        # crawl -> extract -> quality-gate -> dedup, every stage restated:
+        # same mirror fan-out, same markup synthesis + regex chain as
+        # html_text_extract, same first-fail rules as quality_filter_chain
+        # (over the EXTRACTED text), same sha256 + first-fetch-wins group.
+        "crawl_dedup_pipeline": f"""
+WITH cf AS (SELECT doc_id, text,
+                   unnest(generate_series(0, doc_id % {CRAWL_STRIDE - 1})) AS mirror
+            FROM documents),
+ch AS (SELECT doc_id * {CRAWL_STRIDE} + mirror AS crawl_id,
+              {_HTML_SYNTH} AS html
+       FROM cf),
+cp AS (SELECT crawl_id, {_html_text_sql('html')} AS clean FROM ch),
+cn AS (SELECT crawl_id,
+              trim(regexp_replace(lower(clean), '\\s+', ' ', 'g')) AS norm
+       FROM cp),
+ct AS (SELECT crawl_id, norm, string_split(norm, ' ') AS toks FROM cn),
+cfeat AS (SELECT crawl_id, norm,
+        CAST(len(toks) AS BIGINT) AS n_tok,
+        round((length(norm) - (len(toks) - 1)) / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS mtl,
+        round(length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) / greatest(CAST(length(norm) AS DOUBLE), 1.0), 6) AS punct,
+        round(CAST(len(list_intersect(list_distinct(toks), {_STOP_SQL})) AS DOUBLE)
+              / greatest(CAST(len(list_distinct(toks)) AS DOUBLE), 1.0), 6) AS stop
+      FROM ct),
+ckeep AS (SELECT crawl_id, norm, n_tok FROM cfeat
+          WHERE NOT (n_tok < {QF_MIN_TOKENS}) AND NOT (n_tok > {QF_MAX_TOKENS})
+            AND NOT (mtl < {QF_MEAN_TOK_MIN}) AND NOT (mtl > {QF_MEAN_TOK_MAX})
+            AND NOT (punct > {QF_MAX_PUNCT}) AND NOT (stop < {QF_MIN_STOPWORD}))
+SELECT sha256(norm) AS sig,
+       CAST(min(crawl_id) AS BIGINT) AS rep_crawl_id,
+       CAST(count(*) AS BIGINT) AS n_fetches,
+       CAST(min(n_tok) AS BIGINT) AS n_tokens_clean
+FROM ckeep GROUP BY 1
+""",
         "scan_filter_project": """
 SELECT l_orderkey, l_linenumber,
        round(l_extendedprice * (1 - l_discount), 4) AS revenue
@@ -3732,6 +3827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": _q_url_canonical_dedup,
         "tier_attribution": _q_tier_attribution,
         "html_text_extract": _q_html_text_extract,
+        "crawl_dedup_pipeline": _q_crawl_dedup_pipeline,
         "bm25_topk": _q_bm25_topk,
         "bigram_lm_nll": _q_bigram_lm_nll,
         "paragraph_dedup": _q_paragraph_dedup,

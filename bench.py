@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "url_canonical_dedup",
     "tier_attribution",
     "html_text_extract",
+    "crawl_dedup_pipeline",
     "bm25_topk",
     "bigram_lm_nll",
     "repetition_scores",

@@ -327,3 +327,39 @@ def test_html_to_text_multiline_blocks(spark):
     df = spark.createDataFrame([(html,)], "html string")
     out = df.select(html_to_text("html").alias("t")).collect()[0].t
     assert out == "body text"
+
+
+# --- crawl_dedup_pipeline ---------------------------------------------------
+
+
+def test_crawl_dedup_collapses_mirrors(spark, tmp_path):
+    """Each page fetched from doc_id%3+1 mirror URLs collapses to ONE
+    representative with first-fetch-wins rep_crawl_id = doc_id*4 and
+    n_fetches = the mirror count; quality-failing pages vanish entirely."""
+    from __spark_entry__ import CRAWL_STRIDE, _q_crawl_dedup_pipeline
+
+    passing = (
+        "the quick brown fox jumps over the lazy dog and then the small "
+        "cat sat by the door while a bird flew past the open window today"
+    )
+    rows = [(1, passing), (2, passing + " extra words here now"), (5, "too short")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    td = str(tmp_path / "docs")
+    df.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+    out = {r.rep_crawl_id: r for r in _q_crawl_dedup_pipeline(spark, td).collect()}
+    # doc 5 fails too_short; docs 1 and 2 pass with distinct clean text
+    assert set(out) == {1 * CRAWL_STRIDE, 2 * CRAWL_STRIDE}
+    assert out[4].n_fetches == 1 % 3 + 1 == 2
+    assert out[8].n_fetches == 2 % 3 + 1 == 3
+    assert out[4].n_tokens_clean > 16
+
+
+def test_crawl_dedup_single_shuffle_plan(spark):
+    """The composition's scale contract: everything upstream of the dedup
+    groupBy fuses into one codegen stage — exactly ONE Exchange, zero
+    Python nodes (BENCH/PLANS.md crawl_dedup_pipeline)."""
+    from __spark_entry__ import _q_crawl_dedup_pipeline
+
+    plan = _q_crawl_dedup_pipeline(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan and "BatchEval" not in plan
