@@ -302,6 +302,173 @@ def _q_leakage_safe_split(spark, sf_dir):
     )
 
 
+# recall probe: contiguous id block brute-forced exactly. Constant-size by
+# design — the quadratic is RECALL_BLOCK^2/2 comparisons regardless of SF.
+RECALL_BLOCK = 400
+
+
+def _q_minhash_recall_block(spark, sf_dir):
+    """Detector-recall MEASUREMENT by block sampling — the north rule's
+    "dup-pair recall >= 0.99" turned from a one-off test into an executable,
+    oracle-mirrored query a pipeline can run continuously.
+
+    Ground truth: within a constant-size contiguous id block, brute-force
+    ALL pairs with the exact similarity the detector's verify stage itself
+    uses (Jaccard over each doc's distinct shingle-hash60 set, >= TAU) —
+    ~RECALL_BLOCK^2/2 comparisons, constant at any corpus scale, the shape
+    you'd sample per-partition at 10^12 rows. Detected: the production
+    minhash detector's full output restricted to the block. The verify
+    stage makes the detector's precision 1 by construction (every emitted
+    pair passed the exact-Jaccard check), so recall = n_detected / n_true;
+    what recall measures is banding misses (a true pair whose signature
+    never collides in any band) plus est-prefilter misses — the two
+    probabilistic stages. DuckDB restates BOTH sides (brute truth and the
+    full banded detector), so the measured recall itself is oracle-checked.
+
+    Reference analog: the reference's dedup is exact-hash only, so its
+    recall is 1 by definition (/root/reference/tbdedup/dedup/
+    __init__.py:120-157); this query is what the guarantee becomes when the
+    detector is probabilistic."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < RECALL_BLOCK)
+    ex = minhash.exploded_shingles(d, "doc_id", "text", K)
+    hs = (
+        ex.withColumn("_h", text.hash60("_sh"))
+        .groupBy("_id")
+        .agg(F.collect_set("_h").alias("hs"))
+    )
+    a = hs.select(F.col("_id").alias("a_id"), F.col("hs").alias("ha"))
+    b = hs.select(F.col("_id").alias("b_id"), F.col("hs").alias("hb"))
+    jac = F.size(F.array_intersect("ha", "hb")) / F.size(F.array_union("ha", "hb"))
+    n_true = (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .where(jac >= TAU)
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    n_det = (
+        _minhash_pairs_df(spark, sf_dir)
+        .where((F.col("a_id") < RECALL_BLOCK) & (F.col("b_id") < RECALL_BLOCK))
+        .agg(F.count(F.lit(1)).alias("n_detected"))
+    )
+    return n_true.crossJoin(n_det).select(
+        "n_true",
+        "n_detected",
+        F.round(
+            F.when(F.col("n_true") == 0, F.lit(1.0)).otherwise(
+                F.col("n_detected").cast("double") / F.col("n_true")
+            ),
+            6,
+        ).alias("recall"),
+    )
+
+
+def _q_incremental_cluster_update(spark, sf_dir):
+    """Day-2 dedup: yesterday's cluster labels + today's batch, merged by
+    operators/unionfind.incremental_components — union-find runs only on the
+    CONTRACTED batch-scale graph (history clusters collapse to one super-node
+    each; history is scanned map-side twice, never shuffled, never
+    re-iterated). The deterministic split is doc_id % 10 == 0 -> today's
+    batch; edges come from the same two detectors as dedup_clusters and are
+    routed by the same mod rule (both-endpoints-history edges belong to
+    yesterday's run; anything touching a batch doc arrives today).
+
+    The oracle is the strongest form this repo has: DuckDB recomputes the
+    FULL corpus clusters from scratch (the dedup_clusters CTE verbatim), so
+    the green row proves incremental == full recompute — the contraction
+    argument in incremental_components' docstring, machine-checked.
+
+    Reference analog: the reference re-runs its entire hash->group pass per
+    invocation (/root/reference/tbdedup/dedup/__init__.py:100-157); this is
+    what its per-location reruns want to be at 10^12 rows."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    d = _t(spark, sf_dir, "documents")
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        mh_f = pool.submit(_minhash_pairs_df, spark, sf_dir)
+        sub_f = pool.submit(_substr_pairs_df, spark, sf_dir)
+        mh, sub = mh_f.result(), sub_f.result()
+    edges = (
+        mh.select("a_id", "b_id")
+        .unionByName(sub.select("a_id", "b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    hist_nodes = d.select("doc_id").where(F.col("doc_id") % 10 != 0)
+    batch_nodes = d.select("doc_id").where(F.col("doc_id") % 10 == 0)
+    hist_edges = edges.where((F.col("a_id") % 10 != 0) & (F.col("b_id") % 10 != 0))
+    new_edges = edges.where((F.col("a_id") % 10 == 0) | (F.col("b_id") % 10 == 0))
+    hist = unionfind.connected_components(hist_nodes, hist_edges, id_col="doc_id")
+    return unionfind.incremental_components(
+        hist, batch_nodes, new_edges, id_col="doc_id"
+    )
+
+
+def _q_soft_dedup_weights(spark, sf_dir):
+    """SOFT dedup: downweight duplicates instead of dropping them — each
+    document gets sampling weight 1/|its near-dup cluster|, so every cluster
+    contributes ~one document in expectation under weighted sampling while
+    no individual copy (and none of its unique content) is discarded. The
+    public idea is the soft-deduplication / data-reweighting framing
+    (SoftDeDup, 2024) and the sampled-dedup appendix recipes of Gopher and
+    CCNet; here it is the natural counterpart to the reference's hard
+    first-record-wins rule (/root/reference/tbdedup/dedup/__init__.py:140-157)
+    — same groups, a weight instead of a drop.
+
+    Plan: the flagship dedup_clusters subtree (its labels relation is
+    localCheckpoint-backed, so the two consumers below do NOT re-run the
+    detectors) + ONE groupBy(cluster_id) count + ONE equi-join back on
+    cluster_id. The join is groupBy+join, not a count-over-window, so a
+    10^9-member pathological cluster is a shuffle skew AQE can split, not a
+    single window task that must hold the whole cluster. The size side of
+    the join is one row per CLUSTER (~#docs at worst, tiny after dedup), and
+    the join key's Exchange is shared with the aggregate's."""
+    cl = _q_clusters(spark, sf_dir)
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return cl.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("soft_weight"),
+    )
+
+
+def _q_cluster_quality_reps(spark, sf_dir):
+    """Representative selection by QUALITY, not arrival order: per near-dup
+    cluster keep the member with the longest normalized text (ties -> min
+    doc_id) — the production rule when duplicates differ in truncation or
+    boilerplate and "first seen" would keep the worst copy. Contrast with
+    exact_dedup_representatives' min-id rule, which mirrors the reference's
+    first-record-wins (/root/reference/tbdedup/dedup/__init__.py:140-157).
+
+    Plan: clusters subtree -> join document lengths on doc_id (reuses the
+    labels relation's doc_id partitioning; lengths are a codegen projection
+    over the scan) -> ONE groupBy(cluster_id) where the arg-max is a single
+    max(struct(n_chars_norm, -doc_id)) aggregate: struct ordering gives
+    max-length-then-min-id in one pass — no window over the corpus, no
+    second join-back, deterministic by the total order on (len, id)."""
+    cl = _q_clusters(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(text.norm_text("text")).cast("long").alias("n_chars_norm"),
+    )
+    j = cl.join(d, "doc_id")
+    agg = j.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col("n_chars_norm"),
+                (-F.col("doc_id")).alias("neg_id"),
+            )
+        ).alias("best"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return agg.select(
+        "cluster_id",
+        (-F.col("best.neg_id")).cast("long").alias("representative_id"),
+        F.col("best.n_chars_norm").alias("rep_n_chars"),
+        "cluster_size",
+    )
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     """Exact token-set Jaccard within lang blocks — prefix-filtered
     similarity join (operators/setsim.py), NOT the quadratic within-block
@@ -2826,6 +2993,26 @@ _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS) + "]"
 def oracle_sql() -> dict[str, str]:
     mh = _minhash_pairs_sql()
     sub = _substr_pairs_sql()
+    # Shared restatement of the flagship cluster subtree (detector edges ->
+    # transitive closure -> min-label), used verbatim by every oracle that
+    # consumes (doc_id, cluster_id): dedup_clusters, leakage_safe_split,
+    # soft_dedup_weights, cluster_quality_representatives.
+    clusters_cte = f"""WITH RECURSIVE {mh}, {sub},
+edges AS (
+  SELECT a_id, b_id FROM mh_pairs UNION SELECT a_id, b_id FROM sub_pairs
+),
+sym AS (SELECT a_id AS s, b_id AS t FROM edges UNION SELECT b_id, a_id FROM edges),
+reach(s, t) AS (
+  SELECT s, t FROM sym
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN sym e ON r.t = e.s
+),
+lbl AS (
+  SELECT doc_id, doc_id AS m FROM documents
+  UNION ALL
+  SELECT s AS doc_id, t AS m FROM reach
+),
+cl AS (SELECT doc_id, MIN(m) AS cluster_id FROM lbl GROUP BY doc_id)"""
     return {
         "exact_dedup_representatives": f"""
 WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents)
@@ -2850,45 +3037,63 @@ WITH {sub}
 SELECT a_id, b_id, 'substr' AS detector, CAST(1.0 AS DOUBLE) AS score FROM sub_pairs
 """,
         "dedup_clusters": f"""
-WITH RECURSIVE {mh}, {sub},
-edges AS (
-  SELECT a_id, b_id FROM mh_pairs UNION SELECT a_id, b_id FROM sub_pairs
-),
-sym AS (SELECT a_id AS s, b_id AS t FROM edges UNION SELECT b_id, a_id FROM edges),
-reach(s, t) AS (
-  SELECT s, t FROM sym
-  UNION
-  SELECT r.s, e.t FROM reach r JOIN sym e ON r.t = e.s
-),
-lbl AS (
-  SELECT doc_id, doc_id AS m FROM documents
-  UNION ALL
-  SELECT s AS doc_id, t AS m FROM reach
-)
-SELECT doc_id, MIN(m) AS cluster_id FROM lbl GROUP BY doc_id
+{clusters_cte}
+SELECT doc_id, cluster_id FROM cl
 """,
         "leakage_safe_split": f"""
-WITH RECURSIVE {mh}, {sub},
-edges AS (
-  SELECT a_id, b_id FROM mh_pairs UNION SELECT a_id, b_id FROM sub_pairs
-),
-sym AS (SELECT a_id AS s, b_id AS t FROM edges UNION SELECT b_id, a_id FROM edges),
-reach(s, t) AS (
-  SELECT s, t FROM sym
-  UNION
-  SELECT r.s, e.t FROM reach r JOIN sym e ON r.t = e.s
-),
-lbl AS (
-  SELECT doc_id, doc_id AS m FROM documents
-  UNION ALL
-  SELECT s AS doc_id, t AS m FROM reach
-),
-cl AS (SELECT doc_id, MIN(m) AS cluster_id FROM lbl GROUP BY doc_id)
+{clusters_cte}
 SELECT doc_id, cluster_id,
        CASE WHEN {_h60_sql("'split:' || CAST(cluster_id AS VARCHAR)")} % 10000
                  < {VALID_BP}
             THEN 'valid' ELSE 'train' END AS split
 FROM cl
+""",
+        "incremental_cluster_update": f"""
+{clusters_cte}
+SELECT doc_id, cluster_id FROM cl
+""",
+        "minhash_recall_block": f"""
+WITH {mh},
+blk AS (SELECT doc_id, hs FROM hset WHERE doc_id < {RECALL_BLOCK}),
+tp AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM blk a JOIN blk b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+          / len(list_distinct(a.hs || b.hs)) >= {TAU}
+),
+tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM tp),
+dc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_detected FROM mh_pairs
+       WHERE a_id < {RECALL_BLOCK} AND b_id < {RECALL_BLOCK})
+SELECT n_true, n_detected,
+       round(CASE WHEN n_true = 0 THEN 1.0
+                  ELSE CAST(n_detected AS DOUBLE) / n_true END, 6) AS recall
+FROM tc, dc
+""",
+        "soft_dedup_weights": f"""
+{clusters_cte},
+sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       FROM cl GROUP BY cluster_id)
+SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
+       round(1.0 / sz.cluster_size, 6) AS soft_weight
+FROM cl JOIN sz USING (cluster_id)
+""",
+        "cluster_quality_representatives": f"""
+{clusters_cte},
+sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       FROM cl GROUP BY cluster_id),
+q AS (SELECT doc_id, CAST(length({_NORM}) AS BIGINT) AS n_chars_norm
+      FROM documents),
+j AS (SELECT cl.doc_id, cl.cluster_id, q.n_chars_norm
+      FROM cl JOIN q USING (doc_id)),
+b AS (SELECT cluster_id, MAX(n_chars_norm) AS best FROM j GROUP BY cluster_id)
+SELECT j.cluster_id,
+       MIN(j.doc_id) AS representative_id,
+       MAX(j.n_chars_norm) AS rep_n_chars,
+       MAX(sz.cluster_size) AS cluster_size
+FROM j
+JOIN b ON j.cluster_id = b.cluster_id AND j.n_chars_norm = b.best
+JOIN sz ON j.cluster_id = sz.cluster_id
+GROUP BY j.cluster_id
 """,
         "ngram_jaccard_pairs": f"""
 WITH d AS (SELECT doc_id, lang,
@@ -3798,6 +4003,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_containment_pairs": _q_substr,
         "dedup_clusters": _q_clusters,
         "leakage_safe_split": _q_leakage_safe_split,
+        "soft_dedup_weights": _q_soft_dedup_weights,
+        "cluster_quality_representatives": _q_cluster_quality_reps,
+        "incremental_cluster_update": _q_incremental_cluster_update,
+        "minhash_recall_block": _q_minhash_recall_block,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,

@@ -58,7 +58,13 @@ from tbdedup_spark.session import get_spark
 # $SPARK_GRAFT_SF_DIR (image/audio/video/streaming queries — their cost is
 # constant by construction); (b) deliberate exclusions with their own
 # evidence (leakage_safe_split = the benched dedup_clusters subtree + one
-# projection; embedding_neardup_pairs = the documented-saturation oracle
+# projection; soft_dedup_weights / cluster_quality_representatives = the
+# same subtree + one cheap aggregate/join tail over its localCheckpoint-
+# backed labels; incremental_cluster_update = the same detector subtree +
+# a history CC + a batch-scale merge whose scale evidence is the dedicated
+# BENCH/incremental_scale.py harness; minhash_recall_block = a constant-size
+# block probe (RECALL_BLOCK^2/2 comparisons by design) + the benched minhash
+# subtree; embedding_neardup_pairs = the documented-saturation oracle
 # variant, guarded); (c) pure-map text variants whose cost shape is the
 # benched doc_fingerprint/quality_filter_chain (token_counts, lang_id,
 # quality_scores, bpe_token_counts); (d) relational one-shots whose plan

@@ -192,3 +192,108 @@ def with_representatives(components: DataFrame, id_col: str = "image_id") -> Dat
         "cluster_id",
         (F.col(id_col) == F.col("cluster_id")).alias("is_representative"),
     )
+
+
+def incremental_components(
+    history_labels: DataFrame,
+    new_nodes: DataFrame,
+    new_edges: DataFrame,
+    id_col: str = "image_id",
+    **cc_kwargs,
+) -> DataFrame:
+    """Day-2 cluster maintenance: merge a NEW batch (nodes + candidate edges)
+    into existing min-label components WITHOUT re-running union-find over
+    history's edge set — the cluster-level counterpart of the signature-level
+    batch-vs-history tiers in operators/incremental.py, and the loop a
+    10^12-row corpus actually runs (yesterday's labels + today's crawl).
+
+    ``history_labels``: (id_col, cluster_id) — a prior connected_components
+    output (or catalog read of one). ``new_nodes``: one column ``id_col``,
+    ids DISJOINT from history's. ``new_edges``: (a_id, b_id) where endpoints
+    may be new ids or history ids (detector candidates of the batch against
+    itself and against history).
+
+    Correctness: min-label CC output is a compact certificate of history's
+    connectivity — every member points at the min member id, so the history
+    graph can be CONTRACTED to one super-node per cluster (named by
+    cluster_id, which IS the min member id) with no loss: (a) connectivity
+    through a history cluster is preserved by routing batch edges through the
+    super-node, and (b) the min id of a merged component equals the min over
+    its super-node names and new ids, because each name is already the min
+    of its expansion. So union-find runs on the contracted graph only —
+    batch-scale, not corpus-scale — and its output relabels history by a
+    bounded (old_cluster -> new_cluster) remap join.
+
+    Scale shape: history is never shuffled. It is scanned exactly twice, both
+    map-side — once to resolve the batch edges' touched endpoints (inner join
+    against the BROADCAST distinct endpoint set, bounded by 2|new_edges|),
+    once for the final relabel (left join against the BROADCAST remap,
+    bounded by the number of TOUCHED clusters <= |new_edges|). The iterative
+    part (connected_components) sees |new_nodes| + touched-cluster
+    super-nodes. Cost scales with the batch, not the corpus — evidence:
+    BENCH/incremental_scale.py (fixed 10k batch vs 1M/4M history: 0.73x
+    wall at 4x history); equivalence to a full recompute is checked by
+    tests/test_round5e.py (random graphs) and the incremental_cluster_update
+    driver query's full-recompute DuckDB oracle.
+
+    Reference analog: the reference re-runs its whole hash->group pass per
+    invocation (/root/reference/tbdedup/dedup/__init__.py:100-157); this is
+    the resumable-at-scale replacement its own --location-based reruns
+    approximate.
+    """
+    hist = history_labels.select(F.col(id_col).alias("id"), "cluster_id")
+    e = new_edges.select("a_id", "b_id")
+
+    # 1. Resolve touched endpoints to their history super-node (map-side:
+    #    endpoint set is batch-bounded and broadcast; history never shuffles).
+    endpoints = (
+        e.select(F.col("a_id").alias("id"))
+        .unionByName(e.select(F.col("b_id").alias("id")))
+        .dropDuplicates(["id"])
+    )
+    touched = hist.join(F.broadcast(endpoints), "id").select("id", "cluster_id")
+    touched = touched.localCheckpoint()
+
+    # 2. Contract: route each edge endpoint through its super-node name.
+    ec = (
+        e.join(F.broadcast(touched.withColumnRenamed("id", "a_id")), "a_id", "left")
+        .withColumnRenamed("cluster_id", "a_super")
+        .join(F.broadcast(touched.withColumnRenamed("id", "b_id")), "b_id", "left")
+        .withColumnRenamed("cluster_id", "b_super")
+        .select(
+            F.coalesce("a_super", "a_id").alias("a_id"),
+            F.coalesce("b_super", "b_id").alias("b_id"),
+        )
+    )
+    nodes_c = (
+        new_nodes.select(F.col(id_col).alias("id"))
+        .unionByName(touched.select(F.col("cluster_id").alias("id")))
+        .dropDuplicates(["id"])
+    )
+
+    # 3. Union-find on the contracted (batch-scale) graph.
+    merged = connected_components(nodes_c, ec, id_col="id", **cc_kwargs)
+
+    # 4. Re-expand: relabel history through the bounded remap; emit new rows
+    #    directly. Identity remaps are dropped so untouched clusters take the
+    #    left-join's coalesce fast path.
+    remap = merged.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("_old_cluster"), F.col("cluster_id").alias("_new_cluster")
+    )
+    hist_out = (
+        hist.join(
+            F.broadcast(remap),
+            hist.cluster_id == F.col("_old_cluster"),
+            "left",
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("_new_cluster", "cluster_id").alias("cluster_id"),
+        )
+    )
+    new_out = (
+        new_nodes.select(F.col(id_col).alias("id"))
+        .join(merged.withColumnRenamed("cluster_id", "_c"), "id")
+        .select(F.col("id").alias(id_col), F.col("_c").alias("cluster_id"))
+    )
+    return hist_out.unionByName(new_out)
