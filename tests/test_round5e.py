@@ -143,3 +143,24 @@ def test_quality_reps_member_and_argmax(spark):
         assert r.rep_n_chars == best
         assert r.representative_id == min(m for m in members if nlen[m] == best)
         assert r.cluster_size == len(members)
+
+
+def test_incremental_string_ids_image_shape(spark):
+    """The north-star payload keys on string image_ids — the merge must be
+    id-type-agnostic (no arithmetic on ids anywhere: min-label works by
+    ordering, which strings also have)."""
+    hist_nodes = spark.createDataFrame(
+        [("img_a",), ("img_b",), ("img_x",)], "image_id string"
+    )
+    hist_edges = spark.createDataFrame([("img_a", "img_b")], "a_id string, b_id string")
+    hist = unionfind.connected_components(hist_nodes, hist_edges, id_col="image_id")
+    new_nodes = spark.createDataFrame([("img_0new",)], "image_id string")
+    new_edges = spark.createDataFrame(
+        [("img_0new", "img_b")], "a_id string, b_id string"
+    )
+    out = _labels(
+        unionfind.incremental_components(hist, new_nodes, new_edges, id_col="image_id")
+    )
+    # "img_0new" < "img_a" lexicographically -> it renames the merged cluster
+    assert out == {"img_a": "img_0new", "img_b": "img_0new",
+                   "img_x": "img_x", "img_0new": "img_0new"}
