@@ -246,27 +246,35 @@ def _q_substr(spark, sf_dir):
     return _substr_pairs_df(spark, sf_dir)
 
 
-def _q_clusters(spark, sf_dir):
-    """Flagship: union of detector edges → distributed union-find →
-    (doc_id, cluster_id).
+def _detector_edges(spark, sf_dir):
+    """The flagship edge set: minhash ∪ substring detector pairs, deduped.
 
     The two detector subtrees are CONSTRUCTED on concurrent threads: each
     eagerly materializes its signature/index checkpoints at build time, so
     sequential construction would serialize those jobs even though Spark
     could overlap them (job submission is thread-safe — the same pattern as
-    plans/pipeline.py's detector stages)."""
+    plans/pipeline.py's detector stages). Shared by dedup_clusters and
+    incremental_cluster_update so both cluster over the SAME edge
+    definition their oracles' common clusters CTE mirrors."""
     from concurrent.futures import ThreadPoolExecutor
 
-    d = _t(spark, sf_dir, "documents")
     with ThreadPoolExecutor(max_workers=2) as pool:
         mh_f = pool.submit(_minhash_pairs_df, spark, sf_dir)
         sub_f = pool.submit(_substr_pairs_df, spark, sf_dir)
         mh, sub = mh_f.result(), sub_f.result()
-    edges = (
+    return (
         mh.select("a_id", "b_id")
         .unionByName(sub.select("a_id", "b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
+
+
+def _q_clusters(spark, sf_dir):
+    """Flagship: union of detector edges → distributed union-find →
+    (doc_id, cluster_id). Edge construction (and its concurrent-thread
+    rationale) lives in _detector_edges."""
+    d = _t(spark, sf_dir, "documents")
+    edges = _detector_edges(spark, sf_dir)
     return unionfind.connected_components(d.select("doc_id"), edges, id_col="doc_id")
 
 
@@ -379,18 +387,8 @@ def _q_incremental_cluster_update(spark, sf_dir):
     Reference analog: the reference re-runs its entire hash->group pass per
     invocation (/root/reference/tbdedup/dedup/__init__.py:100-157); this is
     what its per-location reruns want to be at 10^12 rows."""
-    from concurrent.futures import ThreadPoolExecutor
-
     d = _t(spark, sf_dir, "documents")
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        mh_f = pool.submit(_minhash_pairs_df, spark, sf_dir)
-        sub_f = pool.submit(_substr_pairs_df, spark, sf_dir)
-        mh, sub = mh_f.result(), sub_f.result()
-    edges = (
-        mh.select("a_id", "b_id")
-        .unionByName(sub.select("a_id", "b_id"))
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    edges = _detector_edges(spark, sf_dir)
     hist_nodes = d.select("doc_id").where(F.col("doc_id") % 10 != 0)
     batch_nodes = d.select("doc_id").where(F.col("doc_id") % 10 == 0)
     hist_edges = edges.where((F.col("a_id") % 10 != 0) & (F.col("b_id") % 10 != 0))
@@ -995,7 +993,7 @@ _HTML_SYNTH = """concat(
   '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>',
   '<!-- crawl id ', CAST(doc_id AS STRING), ' -->',
   '<h1>Item ', CAST(doc_id % 50 AS STRING), '</h1>',
-  '<p>', text, '</p>',
+  '<p>', coalesce(text, ''), '</p>',
   '<p>Fish &amp; chips &lt;tasty&gt; &quot;quoted&quot; it&#39;s&nbsp;done</p>',
   '<footer>&copy; 2026 Example</footer></body></html>'
 )"""
@@ -1130,10 +1128,17 @@ def _q_tier_attribution(spark, sf_dir):
     ex_c = (
         sigs.join(emin, "sig").filter(F.col("doc_id") > F.col("min_id")).select("doc_id")
     )
-    sh_c = _q_simhash(spark, sf_dir).select(F.col("b_id").alias("doc_id")).distinct()
-    mh_c = (
-        _minhash_pairs_df(spark, sf_dir).select(F.col("b_id").alias("doc_id")).distinct()
-    )
+    # Concurrent construction, same rationale as _detector_edges: both
+    # subtrees eagerly materialize checkpoints at build time, so building
+    # them sequentially would serialize those jobs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        sh_f = pool.submit(_q_simhash, spark, sf_dir)
+        mh_f = pool.submit(_minhash_pairs_df, spark, sf_dir)
+        sh_pairs, mh_pairs = sh_f.result(), mh_f.result()
+    sh_c = sh_pairs.select(F.col("b_id").alias("doc_id")).distinct()
+    mh_c = mh_pairs.select(F.col("b_id").alias("doc_id")).distinct()
     lbl = (
         d.select("doc_id")
         .join(ex_c.withColumn("e", F.lit(1)), "doc_id", "left")

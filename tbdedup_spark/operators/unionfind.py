@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -199,6 +200,7 @@ def incremental_components(
     new_nodes: DataFrame,
     new_edges: DataFrame,
     id_col: str = "image_id",
+    broadcast_threshold: int = 5_000_000,
     **cc_kwargs,
 ) -> DataFrame:
     """Day-2 cluster maintenance: merge a NEW batch (nodes + candidate edges)
@@ -226,12 +228,21 @@ def incremental_components(
 
     Scale shape: history is never shuffled. It is scanned exactly twice, both
     map-side — once to resolve the batch edges' touched endpoints (inner join
-    against the BROADCAST distinct endpoint set, bounded by 2|new_edges|),
-    once for the final relabel (left join against the BROADCAST remap,
-    bounded by the number of TOUCHED clusters <= |new_edges|). The iterative
+    against the distinct endpoint set, bounded by 2|new_edges|), once for
+    the final relabel (left join against the remap; remap rows are nodes
+    whose label differs from their id, which only edge endpoints and touched
+    super-nodes can be, so it too is endpoint-bounded). The broadcast hints
+    on those joins are GUARDED, not forced: the endpoint set is counted
+    (cheap — it is localCheckpoint'd and batch-scale) and the hints apply
+    only when it fits ``broadcast_threshold``; a huge crawl batch beyond it
+    falls back to AQE-decided joins instead of an 8GB-broadcast/driver OOM
+    (ADVICE-r3: an unguarded forced broadcast crashes exactly when the
+    batch is big; unguarded AQE costs history one wasted shuffle-write pass
+    when the initial SMJ plan is only converted after runtime stats — the
+    count buys the map-side plan AND the safety valve). The iterative
     part (connected_components) sees |new_nodes| + touched-cluster
     super-nodes. Cost scales with the batch, not the corpus — evidence:
-    BENCH/incremental_scale.py (fixed 10k batch vs 1M/4M history: 0.73x
+    BENCH/incremental_scale.py (fixed 10k batch vs 1M/4M history: 0.64x
     wall at 4x history); equivalence to a full recompute is checked by
     tests/test_round5e.py (random graphs) and the incremental_cluster_update
     driver query's full-recompute DuckDB oracle.
@@ -244,21 +255,26 @@ def incremental_components(
     hist = history_labels.select(F.col(id_col).alias("id"), "cluster_id")
     e = new_edges.select("a_id", "b_id")
 
-    # 1. Resolve touched endpoints to their history super-node (map-side:
-    #    endpoint set is batch-bounded and broadcast; history never shuffles).
+    # 1. Resolve touched endpoints to their history super-node. The endpoint
+    #    set is batch-bounded; one count on the materialized relation decides
+    #    the broadcast hint (see docstring) — under the threshold history
+    #    never shuffles, over it the joins degrade to AQE-decided shuffle
+    #    joins instead of an 8GB-broadcast/driver OOM crash.
     endpoints = (
         e.select(F.col("a_id").alias("id"))
         .unionByName(e.select(F.col("b_id").alias("id")))
         .dropDuplicates(["id"])
     )
-    touched = hist.join(F.broadcast(endpoints), "id").select("id", "cluster_id")
+    endpoints = endpoints.localCheckpoint()
+    _hint = F.broadcast if endpoints.count() <= broadcast_threshold else (lambda df: df)
+    touched = hist.join(_hint(endpoints), "id").select("id", "cluster_id")
     touched = touched.localCheckpoint()
 
     # 2. Contract: route each edge endpoint through its super-node name.
     ec = (
-        e.join(F.broadcast(touched.withColumnRenamed("id", "a_id")), "a_id", "left")
+        e.join(_hint(touched.withColumnRenamed("id", "a_id")), "a_id", "left")
         .withColumnRenamed("cluster_id", "a_super")
-        .join(F.broadcast(touched.withColumnRenamed("id", "b_id")), "b_id", "left")
+        .join(_hint(touched.withColumnRenamed("id", "b_id")), "b_id", "left")
         .withColumnRenamed("cluster_id", "b_super")
         .select(
             F.coalesce("a_super", "a_id").alias("a_id"),
@@ -276,13 +292,15 @@ def incremental_components(
 
     # 4. Re-expand: relabel history through the bounded remap; emit new rows
     #    directly. Identity remaps are dropped so untouched clusters take the
-    #    left-join's coalesce fast path.
+    #    left-join's coalesce fast path. Remap rows can only be contracted-
+    #    graph nodes with a non-identity label — i.e. edge endpoints or
+    #    touched super-nodes — so the endpoint-count guard covers it too.
     remap = merged.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias("_old_cluster"), F.col("cluster_id").alias("_new_cluster")
     )
     hist_out = (
         hist.join(
-            F.broadcast(remap),
+            _hint(remap),
             hist.cluster_id == F.col("_old_cluster"),
             "left",
         )

@@ -269,8 +269,6 @@ def test_tier_attribution_partitions_corpus(spark):
 def test_tier_attribution_planted_exact_dup(spark, tmp_path):
     """A planted exact duplicate lands in tier 'exact' and is NOT counted
     again by the near tiers, even though simhash would also catch it."""
-    import tempfile
-
     from __spark_entry__ import _q_tier_attribution
 
     rows = [
@@ -327,6 +325,26 @@ def test_html_to_text_multiline_blocks(spark):
     df = spark.createDataFrame([(html,)], "html string")
     out = df.select(html_to_text("html").alias("t")).collect()[0].t
     assert out == "body text"
+
+
+def test_html_synth_null_text_cross_engine(spark):
+    """_HTML_SYNTH must agree across engines when documents.text is NULL:
+    Spark concat() is NULL-propagating while DuckDB concat() SKIPS NULL
+    arguments, so without coalesce(text,'') Spark synthesizes NULL markup
+    and DuckDB synthesizes boilerplate-only markup — the one NULL-asymmetric
+    expression the oracle pair would have had. Guarded by coalesce in the
+    shared snippet; this pins both engines to the same non-NULL output."""
+    import duckdb
+
+    from __spark_entry__ import _HTML_SYNTH
+
+    df = spark.createDataFrame([(7, None)], "doc_id int, text string")
+    spark_out = df.selectExpr(f"{_HTML_SYNTH} AS html").collect()[0].html
+    duck_out = duckdb.sql(
+        f"SELECT {_HTML_SYNTH} AS html FROM (SELECT 7 AS doc_id, NULL AS text)"
+    ).fetchone()[0]
+    assert spark_out is not None
+    assert spark_out == duck_out
 
 
 # --- crawl_dedup_pipeline ---------------------------------------------------

@@ -27,8 +27,7 @@ def _random_split_case(spark, seed, n_nodes=400, n_edges=300, hist_frac=0.7):
     batch-history, the real detector output shape)."""
     rng = random.Random(seed)
     cut = int(n_nodes * hist_frac)
-    edges = {(0, 0)}
-    edges.clear()
+    edges = set()
     while len(edges) < n_edges:
         a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
         if a != b:
@@ -56,6 +55,21 @@ def test_incremental_matches_full_recompute(spark, seed):
     inc = unionfind.incremental_components(hist, new_nodes, new_edges, id_col="doc_id")
     full = unionfind.connected_components(all_nodes, all_edges, id_col="doc_id")
     assert _labels(inc) == _labels(full)
+
+
+def test_incremental_broadcast_guard_fallback_identical(spark):
+    """broadcast_threshold=0 forces the over-threshold path (no broadcast
+    hints, AQE-decided joins); labels must be identical to the guarded
+    map-side path — the safety valve changes the PLAN, never the answer."""
+    (all_nodes, all_edges, hist_nodes, new_nodes, hist_edges, new_edges) = (
+        _random_split_case(spark, 1234)
+    )
+    hist = unionfind.connected_components(hist_nodes, hist_edges, id_col="doc_id")
+    inc = unionfind.incremental_components(hist, new_nodes, new_edges, id_col="doc_id")
+    inc0 = unionfind.incremental_components(
+        hist, new_nodes, new_edges, id_col="doc_id", broadcast_threshold=0
+    )
+    assert _labels(inc0) == _labels(inc)
 
 
 def test_incremental_untouched_clusters_keep_labels(spark):
