@@ -16,7 +16,13 @@ Step 2 (path halving) makes chain-shaped components (caption-containment
 chains A ⊂ B ⊂ C…) converge in O(log diameter) instead of O(diameter).
 
 Fault tolerance at scale: ``localCheckpoint`` every iteration truncates the
-lineage that would otherwise grow unboundedly, but local checkpoints live on
+lineage that would otherwise grow unboundedly — via
+``plans.ckpt.local_checkpoint_fresh_stats``, because a plain checkpoint
+carries the checkpointed plan's SIZE ESTIMATE into the new leaf and an
+iterated self-join then compounds that estimate multiplicatively per round
+until the driver grinds multi-megabit BigInteger products inside every
+stats-reading optimizer rule (see plans/ckpt.py for the full mechanism and
+measurements). Local checkpoints also live on
 executor-local storage — one lost executor at hour 3 of a 100-TB run kills
 the job unrecoverably. When a ``catalog`` is passed, every ``ckpt_every``
 iterations the label relation is ALSO committed through the Catalog
@@ -37,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from tbdedup_spark.plans.ckpt import local_checkpoint_fresh_stats
 
 
 def connected_components(
@@ -104,7 +111,7 @@ def connected_components(
         if committed:
             start = committed[-1]
             labels = catalog.read(f"{ckpt_table}_iter{start:04d}")
-    labels = labels.localCheckpoint()
+    labels = local_checkpoint_fresh_stats(labels)
 
     moved = None  # unknown -> full iteration (also right after resume)
     delta = None  # (id, label) rows that changed last iteration
@@ -169,7 +176,7 @@ def connected_components(
                 F.col("label").alias("_old"),
                 F.least("label", F.coalesce("_cand", "label")).alias("label"),
             )
-        jumped = jumped.localCheckpoint()
+        jumped = local_checkpoint_fresh_stats(jumped)
         # convergence probe doubles as the regime selector — a filter over
         # the just-materialized partitions, not a join
         delta = jumped.filter(F.col("label") != F.col("_old")).select("id", "label")
@@ -265,10 +272,10 @@ def incremental_components(
         .unionByName(e.select(F.col("b_id").alias("id")))
         .dropDuplicates(["id"])
     )
-    endpoints = endpoints.localCheckpoint()
+    endpoints = local_checkpoint_fresh_stats(endpoints)
     _hint = F.broadcast if endpoints.count() <= broadcast_threshold else (lambda df: df)
     touched = hist.join(_hint(endpoints), "id").select("id", "cluster_id")
-    touched = touched.localCheckpoint()
+    touched = local_checkpoint_fresh_stats(touched)
 
     # 2. Contract: route each edge endpoint through its super-node name.
     ec = (
