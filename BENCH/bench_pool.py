@@ -74,6 +74,15 @@ def pool(paths: list[str]) -> dict:
 
 def curve(path_small: str, path_big: str) -> None:
     a, b = json.load(open(path_small)), json.load(open(path_big))
+    # same refusal pool() gives: a KeyError mid-table is useless feedback
+    qa, qb = set(a["queries"]), set(b["queries"])
+    rel = set(RELATIONAL)
+    if qa != qb or not (qa >= rel):
+        raise SystemExit(
+            "curve: runs disagree on query list — only in "
+            f"{path_small}: {sorted(qa - qb)}; only in {path_big}: "
+            f"{sorted(qb - qa)}; RELATIONAL missing: {sorted(rel - qa)}"
+        )
 
     def emit(name, m01, m1, f01, f1, bold=False):
         w = "**" if bold else ""

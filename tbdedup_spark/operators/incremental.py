@@ -17,7 +17,12 @@ Scale contract: HISTORY IS NEVER SELF-JOINED AND NEVER SHUFFLED BY A JOIN.
 Every join in both tiers broadcasts a relation bounded by the NEW batch
 (its distinct signatures, its band rows, its matched keys), so history's
 join cost is map-side scans — the plan a 1000-executor cluster wants when
-history is 100 TB and the batch is gigabytes. The one history-sized
+history is 100 TB and the batch is gigabytes. The broadcast hints are
+GUARDED, not forced (same rule as unionfind.incremental_components): the
+public tier operators count the batch once and drop the hints — letting
+AQE decide from runtime sizes — when the batch-derived bound exceeds
+``broadcast_threshold``, so an unexpectedly huge batch degrades to shuffle
+joins instead of a forced-broadcast driver/executor OOM. The one history-sized
 aggregation is the MinHash signature groupBy, and it must NOT be paid per
 batch: pass ``hist_mh_sigs`` (the corpus detector's precomputed signature
 table — plans/pipeline.py's stage-B relation) and the operator reads it
@@ -37,28 +42,47 @@ from ..functions import text
 from . import minhash, simhash
 
 
+def _batch_hint(n_rows, threshold, multiplier: int = 1):
+    """Join-hint factory for a relation bounded by ``n_rows * multiplier``
+    rows: ``F.broadcast`` when the bound fits ``threshold``, identity (AQE
+    decides from runtime sizes) when it does not. ``n_rows=None`` means the
+    caller opted out of counting (``broadcast_threshold=None``) and keeps
+    the documented small-batch broadcast contract unconditionally. Mirrors
+    the guarded hint of ``unionfind.incremental_components`` — an unguarded
+    forced broadcast crashes exactly when the batch is big."""
+    if n_rows is not None and threshold is not None and n_rows * multiplier > threshold:
+        return lambda df: df
+    return F.broadcast
+
+
 def exact_matches(
-    new_sigs: DataFrame, hist_sigs: DataFrame, id_col: str = "_id", sig_col: str = "_sig"
+    new_sigs: DataFrame,
+    hist_sigs: DataFrame,
+    id_col: str = "_id",
+    sig_col: str = "_sig",
+    hint=F.broadcast,
 ) -> DataFrame:
     """Ids of new rows whose signature exists anywhere in history.
 
-    Two broadcast semi-joins, both broadcasting a new-batch-bounded side:
-    the batch's distinct signatures probe history map-side (history never
-    shuffles), and the matched-signature set (<= |batch|) comes back to
-    flag the batch rows. A naive ``new.join(hist, sig, "left_semi")`` would
-    instead shuffle all of history on sig.
+    Two hinted semi-joins, both on a new-batch-bounded side: the batch's
+    distinct signatures probe history map-side (history never shuffles),
+    and the matched-signature set (<= |batch|) comes back to flag the batch
+    rows. A naive ``new.join(hist, sig, "left_semi")`` would instead
+    shuffle all of history on sig. ``hint`` is the batch-side join hint —
+    ``F.broadcast`` by default; the tier operators pass a guarded hint from
+    ``_batch_hint`` so oversized batches fall back to AQE-decided joins.
     """
     probe = new_sigs.select(sig_col).distinct()
     hit = (
-        hist_sigs.join(F.broadcast(probe), sig_col, "left_semi")
+        hist_sigs.join(hint(probe), sig_col, "left_semi")
         .select(sig_col)
         .distinct()
     )
-    return new_sigs.join(F.broadcast(hit), sig_col, "left_semi").select(id_col)
+    return new_sigs.join(hint(hit), sig_col, "left_semi").select(id_col)
 
 
 def candidate_pairs_cross(
-    banded_new: DataFrame, banded_hist: DataFrame
+    banded_new: DataFrame, banded_hist: DataFrame, hint=F.broadcast
 ) -> DataFrame:
     """(a_id=new, b_id=hist) pairs sharing >= 1 LSH band bucket.
 
@@ -73,7 +97,7 @@ def candidate_pairs_cross(
         F.col("_id").alias("a_id"), "band_idx", "band_key"
     )
     return (
-        banded_hist.join(F.broadcast(probe), ["band_idx", "band_key"])
+        banded_hist.join(hint(probe), ["band_idx", "band_key"])
         .select("a_id", F.col("_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
@@ -93,6 +117,7 @@ def tiered_dedup(
     carry: str = "hashes",
     checkpoint: bool = False,
     hist_mh_sigs: DataFrame | None = None,
+    broadcast_threshold: int | None = 5_000_000,
 ) -> DataFrame:
     """(id_col, tier) for every NEW row: 'exact' | 'near' | 'unique'.
 
@@ -112,11 +137,21 @@ def tiered_dedup(
     + the verify joins); leave False when the inputs are cheap scans, set
     it when ``text_col`` is derived from an expensive upstream (same
     contract as minhash.minhash_pairs).
+
+    ``broadcast_threshold``: the batch is counted once (one cheap scan) and
+    every broadcast hint is dropped — AQE decides from runtime sizes — when
+    its batch-derived row bound (|batch| for id/signature sets, |batch| *
+    n_bands for band rows) exceeds this; ``None`` skips the count and keeps
+    the unconditional small-batch broadcast contract.
     """
+    n_new = new_df.count() if broadcast_threshold is not None else None
+    hint_ids = _batch_hint(n_new, broadcast_threshold)
+    hint_band = _batch_hint(n_new, broadcast_threshold, n_bands)
+
     sig = F.sha2(F.encode(text.norm_text(text_col), "utf-8"), 256)
     new_sigs = new_df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
     hist_sigs = hist_df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
-    exact_ids = exact_matches(new_sigs, hist_sigs)
+    exact_ids = exact_matches(new_sigs, hist_sigs, hint=hint_ids)
 
     mh_new = minhash.minhash_signatures(
         new_df, id_col, text_col, k, n_perm, seed, carry=carry
@@ -135,6 +170,7 @@ def tiered_dedup(
     cand = candidate_pairs_cross(
         minhash.band_keys(mh_new, n_perm, n_bands),
         minhash.band_keys(mh_hist, n_perm, n_bands),
+        hint=hint_band,
     )
     # the verify joins see a candidate relation bounded by the batch's
     # bucket collisions — AQE broadcasts it against the signature relations
@@ -149,8 +185,8 @@ def tiered_dedup(
 
     return (
         new_df.select(F.col(id_col).alias("_id"))
-        .join(F.broadcast(exact_ids.withColumn("_t1", F.lit(True))), "_id", "left")
-        .join(F.broadcast(near_ids.withColumn("_t2", F.lit(True))), "_id", "left")
+        .join(hint_ids(exact_ids.withColumn("_t1", F.lit(True))), "_id", "left")
+        .join(hint_ids(near_ids.withColumn("_t2", F.lit(True))), "_id", "left")
         .select(
             F.col("_id").alias(id_col),
             F.when(F.col("_t1"), F.lit("exact"))
@@ -169,6 +205,7 @@ def hamming_matches_cross(
     max_hamming: int = 7,
     n_bands: int = 8,
     width: int = 64,
+    hint=F.broadcast,
 ) -> DataFrame:
     """Ids of NEW rows whose ``width``-bit signature is within ``max_hamming``
     of ANY history signature.
@@ -191,7 +228,7 @@ def hamming_matches_cross(
     )
     hist_b = simhash.hamming_bands(hist_sigs, id_col, sig_col, n_bands, width)
     return (
-        hist_b.join(F.broadcast(probe), ["band_idx", "band_bits"])
+        hist_b.join(hint(probe), ["band_idx", "band_bits"])
         .filter(
             F.bit_count(F.col("_siga").bitwiseXOR(F.col("_sig"))) <= max_hamming
         )
@@ -208,6 +245,7 @@ def tiered_image_dedup(
     phash_col: str = "phash",
     max_hamming: int = 7,
     n_bands: int = 8,
+    broadcast_threshold: int | None = 5_000_000,
 ) -> DataFrame:
     """(id_col, tier) for every NEW image: 'exact' | 'near' | 'unique' —
     ``tiered_dedup``'s batch-vs-corpus shape applied to the input_hint image
@@ -223,18 +261,27 @@ def tiered_image_dedup(
       exact-matched, so the tiers partition the batch.
     * else  ``unique`` — the image enters the corpus.
 
-    Same scale contract as ``tiered_dedup``: every join broadcasts a
+    Same scale contract as ``tiered_dedup``: every join is hinted on a
     relation bounded by the NEW batch; history is only ever map-side
     scanned. Within-batch duplicates are out of scope by the same contract.
+    ``broadcast_threshold`` guards the hints exactly as in ``tiered_dedup``
+    (band rows count |batch| * n_bands against it).
     """
+    n_new = new_imgs.count() if broadcast_threshold is not None else None
+    hint_ids = _batch_hint(n_new, broadcast_threshold)
+    hint_band = _batch_hint(n_new, broadcast_threshold, n_bands)
     exact_ids, near_ids = _image_exact_near_ids(
-        new_imgs, hist_imgs, id_col, bytes_col, phash_col, max_hamming, n_bands
+        new_imgs, hist_imgs, id_col, bytes_col, phash_col, max_hamming, n_bands,
+        hint_ids, hint_band,
     )
-    return _tier_select(new_imgs, id_col, [("exact", exact_ids), ("near", near_ids)])
+    return _tier_select(
+        new_imgs, id_col, [("exact", exact_ids), ("near", near_ids)], hint=hint_ids
+    )
 
 
 def _image_exact_near_ids(
-    new_imgs, hist_imgs, id_col, bytes_col, phash_col, max_hamming, n_bands
+    new_imgs, hist_imgs, id_col, bytes_col, phash_col, max_hamming, n_bands,
+    hint_ids=F.broadcast, hint_band=F.broadcast,
 ):
     """(exact_ids, near_ids) — the first two rungs of every image tier
     ladder, shared by the 3- and 4-tier variants so a fix to either rung
@@ -243,24 +290,26 @@ def _image_exact_near_ids(
     exact_ids = exact_matches(
         new_imgs.select(F.col(id_col).alias("_id"), sig.alias("_sig")),
         hist_imgs.select(F.col(id_col).alias("_id"), sig.alias("_sig")),
+        hint=hint_ids,
     )
     near_ids = hamming_matches_cross(
         new_imgs.select(F.col(id_col).alias("_id"), F.col(phash_col).alias("_sig")),
         hist_imgs.select(F.col(id_col).alias("_id"), F.col(phash_col).alias("_sig")),
         max_hamming=max_hamming,
         n_bands=n_bands,
+        hint=hint_band,
     ).join(exact_ids, "_id", "left_anti")
     return exact_ids, near_ids
 
 
-def _tier_select(new_imgs, id_col, tiers):
+def _tier_select(new_imgs, id_col, tiers, hint=F.broadcast):
     """(id_col, tier) via first-match precedence over ``tiers`` =
-    [(label, ids_df), ...] — each ids_df is batch-bounded and broadcast;
+    [(label, ids_df), ...] — each ids_df is batch-bounded and join-hinted;
     rows matching no tier read 'unique'."""
     out = new_imgs.select(F.col(id_col).alias("_id"))
     for i, (_, ids) in enumerate(tiers):
         out = out.join(
-            F.broadcast(ids.withColumn(f"_t{i}", F.lit(True))), "_id", "left"
+            hint(ids.withColumn(f"_t{i}", F.lit(True))), "_id", "left"
         )
     verdict = F.when(F.col("_t0"), F.lit(tiers[0][0]))
     for i, (label, _) in enumerate(tiers[1:], start=1):
@@ -373,6 +422,7 @@ def crop_matches_cross(
     id_col: str = "image_id",
     psig_col: str = "psig",
     min_shared: int = 2,
+    hint=F.broadcast,
 ) -> DataFrame:
     """Ids of NEW images sharing >= ``min_shared`` keypoint-patch hashes
     with SOME single history image — the cross analog of
@@ -387,7 +437,7 @@ def crop_matches_cross(
     probe = new_psigs.select(F.col(id_col).alias("_aid"), F.col(psig_col).alias("_ps"))
     hist = hist_psigs.select(F.col(id_col).alias("_hid"), F.col(psig_col).alias("_ps"))
     return (
-        hist.join(F.broadcast(probe), "_ps")
+        hist.join(hint(probe), "_ps")
         .groupBy("_aid", "_hid")
         .agg(F.count(F.lit(1)).alias("_shared"))
         .filter(F.col("_shared") >= min_shared)
@@ -407,6 +457,7 @@ def tiered_image_crop_dedup(
     max_hamming: int = 7,
     n_bands: int = 8,
     min_shared: int = 2,
+    broadcast_threshold: int | None = 5_000_000,
 ) -> DataFrame:
     """(id_col, tier) for every NEW image: 'exact' | 'near' | 'crop' |
     'unique' — ``tiered_image_dedup`` extended with the round's
@@ -422,14 +473,28 @@ def tiered_image_crop_dedup(
     (``multimodal.crop_patch_signatures`` output, or a landed/precomputed
     history index — at 100 TB the history psig table is maintained
     incrementally exactly like the history MinHash table in
-    ``tiered_dedup``): every join broadcasts a batch-bounded relation,
-    history is only ever map-side scanned.
+    ``tiered_dedup``): every join is hinted on a batch-bounded relation,
+    history is only ever map-side scanned. ``broadcast_threshold`` guards
+    the hints as in ``tiered_dedup``; the crop probe's bound is
+    |new_psigs| (already per-patch), counted separately from the batch.
     """
+    if broadcast_threshold is not None:
+        n_new = new_imgs.count()
+        n_psig = new_psigs.count()
+    else:
+        n_new = n_psig = None
+    hint_ids = _batch_hint(n_new, broadcast_threshold)
+    hint_band = _batch_hint(n_new, broadcast_threshold, n_bands)
+    hint_crop = _batch_hint(n_psig, broadcast_threshold)
     exact_ids, near_ids = _image_exact_near_ids(
-        new_imgs, hist_imgs, id_col, bytes_col, phash_col, max_hamming, n_bands
+        new_imgs, hist_imgs, id_col, bytes_col, phash_col, max_hamming, n_bands,
+        hint_ids, hint_band,
     )
     crop_ids = (
-        crop_matches_cross(new_psigs, hist_psigs, id_col=id_col, min_shared=min_shared)
+        crop_matches_cross(
+            new_psigs, hist_psigs, id_col=id_col, min_shared=min_shared,
+            hint=hint_crop,
+        )
         .join(exact_ids, "_id", "left_anti")
         .join(near_ids, "_id", "left_anti")
     )
@@ -437,4 +502,5 @@ def tiered_image_crop_dedup(
         new_imgs,
         id_col,
         [("exact", exact_ids), ("near", near_ids), ("crop", crop_ids)],
+        hint=hint_ids,
     )

@@ -134,19 +134,26 @@ def ensure_worker_pyfiles(spark: SparkSession) -> None:
             [sys.executable, os.path.join(root, "make_pyfiles.py")],
             check=False, capture_output=True, text=True,
         )
-    if not os.path.exists(zip_path):
+    if (build is not None and build.returncode != 0) or not os.path.exists(zip_path):
         # fail HERE with a clear message — and leave the flag unset so a
         # later call can retry — rather than silently continuing into an
-        # opaque ModuleNotFoundError inside executor UDF deserialization
+        # opaque ModuleNotFoundError inside executor UDF deserialization.
+        # A failed rebuild is fatal even when an OLD zip still exists:
+        # shipping it would run stale operator code against new driver code
+        # (the exact hazard _stale() exists to prevent).
         detail = (
             f" (make_pyfiles.py exit {build.returncode}: "
             f"{(build.stderr or build.stdout).strip()[-500:]})"
             if build is not None
             else ""
         )
+        what = (
+            "stale and the rebuild failed"
+            if os.path.exists(zip_path)
+            else "missing and make_pyfiles.py did not produce it"
+        )
         raise RuntimeError(
-            f"cannot ship package to Python workers: {zip_path} missing and "
-            f"make_pyfiles.py did not produce it{detail}"
+            f"cannot ship package to Python workers: {zip_path} {what}{detail}"
         )
     sc.addPyFile(zip_path)
     sc._tbdedup_pyfiles_added = True

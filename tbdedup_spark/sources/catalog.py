@@ -160,15 +160,21 @@ class Catalog:
 
     def expire_snapshots(self, table: str, keep_last: int = 1) -> list[int]:
         """Delete the data of all but the newest ``keep_last`` snapshots
-        (the current snapshot is always kept); returns expired ids."""
+        (the current snapshot is always kept); returns expired ids.
+
+        Order matters (Iceberg's rule, and this module's own invariant that
+        the manifest never references missing data): the shrunken manifest
+        COMMITS FIRST, physical deletes run after. A crash between the two
+        leaves unreferenced orphan directories (a disk leak invisible to
+        every reader), never a committed snapshot whose data is gone."""
         m = self._manifest(table)
         keep = {s["id"] for s in m["snapshots"][-keep_last:]} | {m["current"]}
         expired = [s["id"] for s in m["snapshots"] if s["id"] not in keep]
+        m["snapshots"] = [s for s in m["snapshots"] if s["id"] in keep]
+        self._commit_manifest(table, m)
         for sid in expired:
             shutil.rmtree(os.path.join(self._path(table), f"snap-{sid}"),
                           ignore_errors=True)
-        m["snapshots"] = [s for s in m["snapshots"] if s["id"] in keep]
-        self._commit_manifest(table, m)
         return expired
 
     def list_tables(self, prefix: str = "") -> list[str]:
@@ -197,7 +203,15 @@ class Catalog:
         if self.iceberg:
             return self.spark.table(self._tbl(table))
         if self.versioned:
-            sid = self.current_snapshot(table) if snapshot_id is None else snapshot_id
+            m = self._manifest(table)
+            sid = m["current"] if snapshot_id is None else snapshot_id
+            if snapshot_id is not None and not any(
+                s["id"] == sid for s in m["snapshots"]
+            ):
+                # same contract as rollback(): only COMMITTED snapshots are
+                # addressable — an expired id (or a crash-window orphan dir)
+                # is a clean ValueError, not a parquet read of dead data
+                raise ValueError(f"unknown snapshot {sid} for {table}")
             return self.spark.read.parquet(
                 os.path.join(self._path(table), f"snap-{sid}")
             )

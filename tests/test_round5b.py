@@ -86,6 +86,28 @@ def test_tiered_dedup_precomputed_history_sigs(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_tiered_dedup_broadcast_guard_is_plan_only(spark):
+    """The guarded broadcast hints (review catch: an oversized batch must
+    degrade to AQE-decided joins, not a forced-broadcast OOM) change the
+    physical plan only: verdicts are identical with the hints forced off
+    (threshold=0 — every bound exceeds it), forced on (None — the uncounted
+    small-batch contract), and at the default."""
+    new_df, hist_df = _tiered_corpus(spark)
+    want = sorted(
+        map(tuple, incremental.tiered_dedup(new_df, hist_df, tau=0.6).collect())
+    )
+    for thr in (0, None):
+        got = sorted(
+            map(
+                tuple,
+                incremental.tiered_dedup(
+                    new_df, hist_df, tau=0.6, broadcast_threshold=thr
+                ).collect(),
+            )
+        )
+        assert got == want, thr
+
+
 # --- SemDeDup -----------------------------------------------------------------
 
 

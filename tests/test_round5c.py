@@ -368,6 +368,40 @@ def test_catalog_versioned_killed_run_recovery(spark, tmp_path):
     assert cat.read("t").count() == 5          # orphan data fully replaced
 
 
+def test_catalog_expire_commits_manifest_before_deleting(spark, tmp_path, monkeypatch):
+    """expire_snapshots must swap the manifest BEFORE any rmtree (Iceberg's
+    metadata-first rule; review catch — the old order could commit a
+    manifest referencing deleted data). Simulate a crash between the two by
+    making rmtree a no-op: the manifest must already be clean, every kept
+    snapshot readable, and the orphan dirs invisible to readers."""
+    import os
+    import shutil
+
+    from tbdedup_spark.sources import catalog as catmod
+    from tbdedup_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path), "run_x", versioned=True)
+    for i in (3, 5, 7):
+        cat.write(spark.range(i).selectExpr("id AS v"), "t")
+
+    monkeypatch.setattr(catmod.shutil, "rmtree", lambda *a, **k: None)
+    expired = cat.expire_snapshots("t", keep_last=1)
+    monkeypatch.undo()
+
+    assert expired == [1, 2]
+    # crash-window state: manifest already clean, data dirs still on disk
+    assert [s["id"] for s in cat.snapshots("t")] == [3]
+    assert os.path.isdir(os.path.join(str(tmp_path), "run_x", "t", "snap-1"))
+    assert cat.read("t").count() == 7
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        cat.read("t", snapshot_id=1)  # orphan is not a committed snapshot
+    # a completed expire (rmtree restored) actually deletes kept-out data
+    cat.write(spark.range(2).selectExpr("id AS v"), "t")
+    cat.expire_snapshots("t", keep_last=1)
+    assert not os.path.isdir(os.path.join(str(tmp_path), "run_x", "t", "snap-3"))
+
+
 def test_editdist_operator_is_codepoint_exact_on_unicode(spark):
     """The OPERATOR keeps full code-point semantics ('café' vs 'cafe' is
     ONE edit); only the contract query narrows its domain to ASCII because
