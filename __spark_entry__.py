@@ -29,6 +29,17 @@ from tbdedup_spark.operators import (
     ann, asof, cdc, incremental, minhash, setsim, simhash, substr, unionfind,
 )
 
+# Landed-oracle staging namespace: queries that materialize intermediates
+# for the DuckDB mirror stage them under /tmp keyed by THIS checkout's
+# path, so two concurrent runs from different worktrees (the repo's A/B
+# bench discipline) cannot clobber each other's oracle inputs. Computed
+# once at import: static per process, so queries() and oracle_sql() agree.
+import hashlib as _hashlib
+
+_ORACLE_NS = _hashlib.md5(
+    os.path.dirname(os.path.abspath(__file__)).encode()
+).hexdigest()[:8]
+
 # --- shared detector config (same constants on both engines) -----------------
 K = 5            # shingle width
 N_PERM = 16      # minhash permutations
@@ -600,7 +611,7 @@ def _q_ngram_topk(spark, sf_dir):
     )
 
 
-SNAP_ORACLE_DIR = "/tmp/tbdedup_snap_oracle"  # stable: oracle_sql is static
+SNAP_ORACLE_DIR = f"/tmp/tbdedup_snap_oracle_{_ORACLE_NS}"  # per-checkout (see _ORACLE_NS)
 
 
 def _q_snapshot_diff_dedup(spark, sf_dir):
@@ -1971,7 +1982,6 @@ def _q_ann_ivf(spark, sf_dir):
     probed-cell candidate join, the exact cosine over the embeddings table,
     and the (score DESC, neighbor_id) ranking from them. Recall vs brute
     force stays gated in tests/test_round3.py."""
-    import os
 
     e = _t(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 10)
@@ -1992,7 +2002,7 @@ def _q_ann_ivf(spark, sf_dir):
 # verified-split algebra. A wrong union-find, rep rule, or split shows as a
 # hash mismatch; only the detector/decode verdicts themselves are trusted
 # from Spark (they are pytest-gated against a golden single-node oracle).
-IMG_ORACLE_DIR = "/tmp/tbdedup_img_oracle"
+IMG_ORACLE_DIR = f"/tmp/tbdedup_img_oracle_{_ORACLE_NS}"
 
 # Same mechanism for the remaining non-SQL stages: the audio/frame queries
 # land their 64-bit fingerprints (the FFT/pHash outputs) and the IVF query
@@ -2001,7 +2011,7 @@ IMG_ORACLE_DIR = "/tmp/tbdedup_img_oracle"
 # or cell join + exact cosine + rank — from those files. Only the signal
 # processing itself is trusted from Spark (pytest-gated planted-pair
 # recall / recall-vs-bruteforce).
-MEDIA_ORACLE_DIR = "/tmp/tbdedup_media_oracle"
+MEDIA_ORACLE_DIR = f"/tmp/tbdedup_media_oracle_{_ORACLE_NS}"
 
 
 def _q_image_dedup_clusters(spark, sf_dir):
@@ -2021,7 +2031,6 @@ def _q_image_dedup_clusters(spark, sf_dir):
     verified-split from them (see IMG_ORACLE_DIR comment). Detector recall
     ≥0.99 and cluster-assignment equality vs the golden single-node oracle
     remain gated in tests/test_pipeline.py."""
-    import os
     import shutil
     import tempfile
 
@@ -2071,7 +2080,6 @@ def _q_image_tiered_dedup(spark, sf_dir):
     'near', which the uncapped pigeonhole banding + residual filter equals
     exactly. Only the phash values themselves are Spark-supplied (pixel
     decode is the one non-SQL stage, same contract as audio/frame sigs)."""
-    import os
     import shutil
 
     from tbdedup_spark import synth_dist
@@ -2114,10 +2122,8 @@ def _q_image_tiered_crop_dedup(spark, sf_dir):
     Reference analog: the dedup writer's skip-already-written-hashes rule
     (/root/reference/tbdedup/dedup/__init__.py:137-161) escalated through
     three signature families."""
-    import os
     import shutil
 
-    from pyspark.sql import functions as F
 
     from tbdedup_spark import synth
     from tbdedup_spark.operators import incremental, multimodal
@@ -2162,7 +2168,6 @@ def _q_audio_near_dups(spark, sf_dir):
     ENTIRE candidate machinery from the same bytes: 8-band pigeonhole
     split, the 1024 bucket cap, the Hamming-distance filter, and the score.
     Planted-pair recall stays gated in tests/test_multimodal.py."""
-    import os
 
     from tbdedup_spark import synth
     from tbdedup_spark.operators import multimodal
@@ -2187,7 +2192,6 @@ def _q_frame_near_dups(spark, sf_dir):
     (frame_key, phash) relation lets DuckDB re-derive the banded join, the
     bucket cap, the Hamming filter, AND the cross-media predicate
     (split_part on the media_id:frame_idx key)."""
-    import os
 
     from tbdedup_spark import synth
     from tbdedup_spark.operators import multimodal
@@ -2214,7 +2218,6 @@ def _q_dihedral_neardup(spark, sf_dir):
     canonical-orientation predicate (split_part on image_id:orient).
     Planted-recovery + plain-pHash-blindness asserted in
     tests/test_round5b.py."""
-    import os
 
     from tbdedup_spark import synth
     from tbdedup_spark.operators import multimodal
@@ -2243,7 +2246,6 @@ def _q_crop_image_neardup(spark, sf_dir):
     asserted in tests/test_round5c.py. Reference analog: the canonical-
     signature grouping generalized to many sub-image signatures per record
     (/root/reference/tbdedup/dedup/__init__.py:140-157)."""
-    import os
 
     from tbdedup_spark import synth
     from tbdedup_spark.operators import multimodal
@@ -2293,7 +2295,7 @@ def _q_editdist_pairs(spark, sf_dir):
 # the DuckDB mirror reads these files by absolute path (oracle_sql() returns
 # a static string, so the location cannot be a per-run tempdir). The Spark
 # query overwrites both subdirs on every run, making re-runs deterministic.
-STREAM_ORACLE_DIR = "/tmp/tbdedup_stream_oracle"
+STREAM_ORACLE_DIR = f"/tmp/tbdedup_stream_oracle_{_ORACLE_NS}"
 
 
 def _q_streaming_first_seen(spark, sf_dir):
@@ -2318,7 +2320,6 @@ def _q_streaming_first_seen(spark, sf_dir):
     applyInPandasWithState operator's cross-trigger state semantics match
     the declarative restatement. Reference analog: the dedup writer's
     first-record-wins rule, tbdedup/dedup/__init__.py:140-157."""
-    import os
     import shutil
     import tempfile
 
@@ -2377,7 +2378,6 @@ def _q_streaming_windowed_counts(spark, sf_dir):
     summary-by-folder rollup, /root/reference/tbdedup/report.py
     (buildSummary), re-expressed as event-time windows instead of a
     post-hoc dict walk."""
-    import os
     import shutil
     import tempfile
 
@@ -2410,9 +2410,13 @@ def _q_streaming_windowed_counts(spark, sf_dir):
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            # value is 2-dp synthetic; a 4-dp round of the double sum is
-            # boundary-free across engines (same rationale as revenue)
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # value is 2-dp synthetic; sum it as DECIMAL, not round(sum
+            # (double), 4) — a double sum is accumulation-order-dependent
+            # and its cross-engine delta outgrows the rounding boundary at
+            # large per-group row counts (same discipline as group_agg)
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             # back to NTZ for schema parity with the source column
@@ -2632,9 +2636,15 @@ def _q_cube_agg(spark, sf_dir):
     """CUBE aggregate (all grouping-set combinations) over orders —
     completes the rollup/cube subtotal family."""
     o = _t(spark, sf_dir, "orders")
+    # decimal sum, NOT round(sum(double), 2): a double sum is accumulation-
+    # order-dependent and at sf1-scale row counts the cross-engine delta
+    # (~6e-3 measured on 1.5M 2-dp values) exceeds the 0.005 half-boundary
+    # of the rounding — the same flake group_agg's decimal discipline avoids
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum(F.col("o_totalprice").cast("double")), 2).alias("sum_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
     )
 
 
@@ -2672,7 +2682,10 @@ def _q_rollup_agg(spark, sf_dir):
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum(F.col("o_totalprice").cast("double")), 2).alias("sum_price"),
+            # decimal-exact sum — see _q_cube_agg
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
         )
     )
 
@@ -2693,6 +2706,26 @@ def _sh_sql(k: int) -> str:
 
 def _h60_sql(x: str) -> str:
     return f"CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _winnow_ctes_sql() -> str:
+    """The shared d/g/kg/w winnowing CTE block (normalize -> k-gram hashes
+    packed with the rightmost-min position tiebreak -> per-doc window min),
+    used by BOTH winnow oracle entries so the two mirrors cannot drift
+    (review catch: the block was previously maintained twice verbatim)."""
+    return f"""WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents
+           WHERE length({_NORM}) >= {WINNOW_K}),
+g AS (SELECT doc_id, norm,
+             unnest(generate_series(0, length(norm) - {WINNOW_K})) AS pos
+      FROM d),
+kg AS (SELECT doc_id, pos,
+              ({_h60_sql(f"substr(norm, pos + 1, {WINNOW_K})")} % 1073741824)
+                * {_POS_ENC} + ({_POS_ENC - 1} - pos) AS key
+       FROM g),
+w AS (SELECT doc_id, pos,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS win
+      FROM kg)"""
 
 
 def _minhash_pairs_sql() -> str:
@@ -3294,7 +3327,7 @@ SELECT * FROM (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
          event_type,
          count(*) AS n_events,
-         round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
   FROM events GROUP BY 1, 2
 ) WHERE window_start + INTERVAL 1 DAY <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
 """,
@@ -3698,38 +3731,14 @@ SELECT CAST(query_id AS INT) AS query_id, doc_id, CAST(rnk AS INT) AS rank,
 FROM r WHERE rnk <= {BM25_TOPK}
 """,
         "winnowing_fingerprints": f"""
-WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents
-           WHERE length({_NORM}) >= {WINNOW_K}),
-g AS (SELECT doc_id, norm,
-             unnest(generate_series(0, length(norm) - {WINNOW_K})) AS pos
-      FROM d),
-kg AS (SELECT doc_id, pos,
-              ({_h60_sql(f"substr(norm, pos + 1, {WINNOW_K})")} % 1073741824)
-                * {_POS_ENC} + ({_POS_ENC - 1} - pos) AS key
-       FROM g),
-w AS (SELECT doc_id, pos,
-             min(key) OVER (PARTITION BY doc_id ORDER BY pos
-                            ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS win
-      FROM kg)
+{_winnow_ctes_sql()}
 SELECT DISTINCT doc_id,
        CAST({_POS_ENC - 1} - (win % {_POS_ENC}) AS BIGINT) AS pos,
        CAST(win // {_POS_ENC} AS BIGINT) AS fp
 FROM w WHERE pos >= {WINNOW_W - 1}
 """,
         "winnow_dup_pairs": f"""
-WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents
-           WHERE length({_NORM}) >= {WINNOW_K}),
-g AS (SELECT doc_id, norm,
-             unnest(generate_series(0, length(norm) - {WINNOW_K})) AS pos
-      FROM d),
-kg AS (SELECT doc_id, pos,
-              ({_h60_sql(f"substr(norm, pos + 1, {WINNOW_K})")} % 1073741824)
-                * {_POS_ENC} + ({_POS_ENC - 1} - pos) AS key
-       FROM g),
-w AS (SELECT doc_id, pos,
-             min(key) OVER (PARTITION BY doc_id ORDER BY pos
-                            ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS win
-      FROM kg),
+{_winnow_ctes_sql()},
 fsets AS (SELECT DISTINCT doc_id, CAST(win // {_POS_ENC} AS BIGINT) AS fp
           FROM w WHERE pos >= {WINNOW_W - 1}),
 dfc AS (SELECT fp FROM fsets GROUP BY fp
@@ -3958,7 +3967,7 @@ FROM events
         "cube_agg": """
 SELECT o_orderstatus, o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       round(SUM(CAST(o_totalprice AS DOUBLE)), 2) AS sum_price
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
@@ -3992,7 +4001,7 @@ FROM documents
         "rollup_agg": """
 SELECT o_orderstatus, o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       round(SUM(CAST(o_totalprice AS DOUBLE)), 2) AS sum_price
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
