@@ -101,14 +101,28 @@ def check_members(
             "_rep_id",
         )
         .withColumn("_sig_eq", F.col("_ms") == F.col("_rs"))
+        # Empty/whitespace captions carry NO duplicate evidence and must not
+        # take the cheap path (review catch: contains('') is always true, so
+        # an empty representative caption would approve EVERY member — and
+        # toks('') is [''], making two empty captions similarity-1.0). Gate
+        # both caption branches on non-emptiness; empty-captioned members
+        # fall through to the PSNR pixel proof.
+        .withColumn(
+            "_cap_ev",
+            (F.length(F.trim("_mc")) > 0) & (F.length(F.trim("_rc")) > 0),
+        )
         .withColumn(
             "_cap_sim",
-            F.size(F.array_intersect(toks(F.col("_mc")), toks(F.col("_rc"))))
-            / F.greatest(F.size(F.array_union(toks(F.col("_mc")), toks(F.col("_rc")))), F.lit(1)).cast("double"),
+            F.when(
+                F.col("_cap_ev"),
+                F.size(F.array_intersect(toks(F.col("_mc")), toks(F.col("_rc"))))
+                / F.greatest(F.size(F.array_union(toks(F.col("_mc")), toks(F.col("_rc")))), F.lit(1)).cast("double"),
+            ).otherwise(F.lit(0.0)),
         )
         .withColumn(
             "_cap_contain",
-            F.col("_mc").contains(F.col("_rc")) | F.col("_rc").contains(F.col("_mc")),
+            F.col("_cap_ev")
+            & (F.col("_mc").contains(F.col("_rc")) | F.col("_rc").contains(F.col("_mc"))),
         )
     )
     cheap_ok = (
@@ -257,6 +271,12 @@ def verify_members(
     min_psnr_db: float = 40.0,
     caption_tau: float = 0.5,
 ) -> tuple[DataFrame, DataFrame]:
-    """One-call convenience: check (materialized once) + split."""
+    """One-call convenience: check (materialized once) + split.
+
+    COST NOTE: with no ``sigs`` parameter, check_members recomputes the
+    full signature relation INCLUDING the whole-corpus canonical pixel
+    decode. The pipeline (plans/pipeline.py stage H) calls the pair
+    directly with its committed ``sigs_ok`` to avoid that second decode —
+    do the same anywhere the signatures already exist."""
     checked = check_members(clusters, images, min_psnr_db, caption_tau).localCheckpoint()
     return split_verified(clusters, checked, images=images)

@@ -10,7 +10,9 @@ Stage map (SURVEY §3 "our lifecycle"):
   E detector: substr    substr.containment_pairs(index join + contains)
   F union of edges      unionByName + dropDuplicates
   G union-find          unionfind.connected_components (driver loop)
-  H verify + quarantine verify.verify_members   (only stage re-touching bytes)
+  H verify + quarantine verify.check_members + split_verified (only stage
+                        re-touching bytes; verify.verify_members is the
+                        one-call convenience wrapper over the same pair)
 
 Each stage writes a parquet table under the run's warehouse dir and a lineage
 row; re-running the same config resumes after the last completed stage —
@@ -39,6 +41,13 @@ class DedupConfig:
     (--msg-hash-source, :71-77); the rest parameterize the detectors."""
 
     hash_source: str = "canonical"  # or "disk"
+    # Resume is keyed by config_run_id(asdict(config)) ALONE — the input
+    # DataFrame's identity is not (cheaply) observable, so re-running the
+    # same config against a DIFFERENT corpus in the same warehouse would
+    # silently resume the old corpus's committed stages (review catch). Set
+    # dataset_id to name the input (a snapshot id, a path, a content stamp);
+    # it participates in the run id, so a changed corpus gets fresh stages.
+    dataset_id: str = ""
     shingle_k: int = 5
     n_perm: int = 16
     n_bands: int = 8
@@ -92,6 +101,7 @@ def run_pipeline(
     # every downstream detector scan and the footer count. The shuffle moves
     # only the narrow columns (bytes never leave the decode stage).
     n_out = spark.sparkContext.defaultParallelism
+    sigs_fresh = not cat.exists("signatures")
     sigs = cat.stage(
         "signatures",
         lambda: exact.signatures(
@@ -107,19 +117,29 @@ def run_pipeline(
     _is_bad = F.col("sig").startswith("DECODE_ERROR:")
     sigs_ok = sigs.filter(~_is_bad)
 
-    # O2 analog: sampled format inference — classify the source from the
-    # first <=1000 rows only (Mailbox.detect_mbox_type samples <=1000
-    # messages, tbdedup/mbox/mboxfile.py:62-119); full-scan format stats at
-    # 10^12 rows would be a job of their own
-    for row in images.limit(1000).groupBy("fmt").count().collect():
-        cat.log_metric("signatures", f"fmt_sample_{row['fmt']}", row["count"])
+    # Bookkeeping metrics run only when this invocation BUILT the stage —
+    # on resume the rows already exist, and the append-only metrics table
+    # would otherwise accumulate one duplicate set per re-launch (review
+    # catch: consumers aggregating by (run_id, stage, key) would multi-count).
+    if sigs_fresh:
+        # O2 analog: sampled format inference — classify the source from the
+        # first <=1000 rows only (Mailbox.detect_mbox_type samples <=1000
+        # messages, tbdedup/mbox/mboxfile.py:62-119); full-scan format stats
+        # at 10^12 rows would be a job of their own
+        for row in images.limit(1000).groupBy("fmt").count().collect():
+            cat.log_metric("signatures", f"fmt_sample_{row['fmt']}", row["count"])
 
-    # O9 sanity pair — metrics, with the reference's divergence warning
-    sanity = exact.dual_hash_sanity(sigs).collect()[0]
-    cat.log_metric("signatures", "unique_canonical", sanity.unique_canonical)
-    cat.log_metric("signatures", "unique_disk", sanity.unique_disk)
-    if sanity.counts_diverge:
-        cat.log_metric("signatures", "dual_hash_counts_diverge", 1.0)
+        # O9 sanity pair — metrics, with the reference's divergence warning.
+        # Only meaningful when BOTH hashes were computed: in disk mode
+        # signatures() aliases disk_sig as sig, so the comparison would be
+        # a column against itself and the warning could never fire (review
+        # catch) — skip it rather than log a vacuously-agreeing pair.
+        if config.hash_source == "canonical":
+            sanity = exact.dual_hash_sanity(sigs).collect()[0]
+            cat.log_metric("signatures", "unique_canonical", sanity.unique_canonical)
+            cat.log_metric("signatures", "unique_disk", sanity.unique_disk)
+            if sanity.counts_diverge:
+                cat.log_metric("signatures", "dual_hash_counts_diverge", 1.0)
 
     def _mh():
         pairs, dropped = minhash.minhash_pairs(
@@ -183,14 +203,16 @@ def run_pipeline(
     # parquet-backed — drop the detectors' pinned checkpoint blocks
     cat.release_cached()
 
+    pairs_fresh = not cat.exists("pairs_all")
     pairs = cat.stage(
         "pairs_all",
         lambda: exact_p.unionByName(mh_p).unionByName(sh_p).unionByName(sub_p)
         .dropDuplicates(["a_id", "b_id", "detector"]),
         "pairs_*",
     )
-    for row in pairs.groupBy("detector").count().collect():  # one job, not four
-        cat.log_metric("pairs_all", f"pairs_{row['detector']}", row["count"])
+    if pairs_fresh:  # resume-idempotent, like the signatures bookkeeping
+        for row in pairs.groupBy("detector").count().collect():  # one job, not four
+            cat.log_metric("pairs_all", f"pairs_{row['detector']}", row["count"])
 
     clusters = cat.stage(
         "clusters",

@@ -167,8 +167,13 @@ class Catalog:
         COMMITS FIRST, physical deletes run after. A crash between the two
         leaves unreferenced orphan directories (a disk leak invisible to
         every reader), never a committed snapshot whose data is gone."""
+        if keep_last < 0:
+            raise ValueError(f"keep_last must be >= 0, got {keep_last}")
         m = self._manifest(table)
-        keep = {s["id"] for s in m["snapshots"][-keep_last:]} | {m["current"]}
+        # [-0:] would slice the WHOLE list, silently keeping everything
+        # (review catch) — keep_last=0 means "keep only the current snapshot"
+        tail = m["snapshots"][-keep_last:] if keep_last > 0 else []
+        keep = {s["id"] for s in tail} | {m["current"]}
         expired = [s["id"] for s in m["snapshots"] if s["id"] not in keep]
         m["snapshots"] = [s for s in m["snapshots"] if s["id"] in keep]
         self._commit_manifest(table, m)
@@ -420,7 +425,10 @@ class Catalog:
         finally:
             sc.setJobGroup(None, None)
             stop()
-        self.log_lineage(name, input_ref, self._path(name), n, "OK")
+        # lineage points at where the data actually lives: the catalog table
+        # in Iceberg mode, the filesystem path otherwise (review catch)
+        out_ref = self._tbl(name) if self.iceberg else self._path(name)
+        self.log_lineage(name, input_ref, out_ref, n, "OK")
         self.log_metric(name, "wall_clock_s", time.time() - t0)
         self.log_metric(name, "row_count", n)
         return self.read(name)

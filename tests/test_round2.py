@@ -258,3 +258,31 @@ def test_attach_evidence_size_cap(spark, images):
     assert withev.filter(F.col("evidence_bytes").isNull()).count() == 0
     capped = verify.attach_evidence(q, images, evidence_cap=4)
     assert capped.filter(F.col("evidence_bytes").isNotNull()).count() == 0
+
+
+def test_empty_captions_carry_no_dup_evidence(spark, images):
+    """Review catch: contains('') is trivially true and toks('') is [''],
+    so an empty representative caption used to cheap-approve EVERY member
+    (and two empty captions scored similarity 1.0) with no pixel proof.
+    Empty/whitespace captions must route to the PSNR path: two pixel-
+    distinct images with blank captions in one cluster -> member NOT ok."""
+    # two BASE images of different base groups: independent random pixels,
+    # so the PSNR proof genuinely fails (a same-base variant could pass it)
+    two = sorted(
+        r.image_id
+        for r in images.filter(F.col("image_id").endswith("_00"))
+        .select("image_id").limit(2).collect()
+    )
+    rep, mem = two[0], two[1]
+    blank = images.filter(F.col("image_id").isin(two)).withColumn(
+        "caption", F.lit("  ")
+    )
+    clusters = spark.createDataFrame(
+        [(rep, rep, True), (mem, rep, False)],
+        "image_id string, cluster_id string, is_representative boolean",
+    )
+    checked = verify.check_members(clusters, blank)
+    row = checked.filter(F.col("image_id") == mem).collect()[0]
+    assert row.cap_sim == 0.0 and not row.cap_contain
+    # pixel-distinct fixtures -> the PSNR proof must fail -> quarantined
+    assert not row.ok and row.psnr_db is not None

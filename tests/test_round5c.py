@@ -436,3 +436,22 @@ def test_crop_patch_cap_is_crop_safe():
         # original owns AND that made the original's top-16 stay shared
         assert cap_c <= set(_crop_patch_sigs(crop)) <= full_o
         assert len(cap_o & cap_c) >= 2, f"seed {seed}: cap destroyed recall"
+
+
+def test_catalog_expire_keep_last_zero_keeps_only_current(spark, tmp_path):
+    """keep_last=0 means 'keep only the current snapshot' — the [-0:] slice
+    would silently keep EVERYTHING (review catch); negative is rejected."""
+    import os
+
+    from tbdedup_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path), "run_z", versioned=True)
+    for i in (3, 5, 7):
+        cat.write(spark.range(i).selectExpr("id AS v"), "t")
+    assert cat.expire_snapshots("t", keep_last=0) == [1, 2]
+    assert [s["id"] for s in cat.snapshots("t")] == [3]
+    assert not os.path.isdir(os.path.join(str(tmp_path), "run_z", "t", "snap-1"))
+    assert cat.read("t").count() == 7
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        cat.expire_snapshots("t", keep_last=-1)
