@@ -85,6 +85,12 @@ def representatives(sigs: DataFrame, key: str = "sig") -> DataFrame:
 
     groupBy(min)+join rather than a row_number window — same skew argument
     as ``exact_pairs``: hot groups must never serialize onto one task.
+
+    PRECONDITION: ``key`` must be non-null. A null key would group (null
+    groups) but never survive the equi-join back (null != null), silently
+    vanishing from the output (review catch). The schemas this operator
+    serves guarantee it: IMAGES.bytes is non-nullable (schema.py) and
+    signatures() emits DECODE_ERROR sentinels, never nulls, on bad rows.
     """
     reps = sigs.groupBy(key).agg(
         F.min("image_id").alias("image_id"),

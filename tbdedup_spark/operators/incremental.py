@@ -222,7 +222,9 @@ def hamming_matches_cross(
     hot-bucket failure mode cannot occur; cap the NEW side upstream if a
     degenerate batch (all-flat phashes) ever needs a valve.
     """
-    assert max_hamming < n_bands, "pigeonhole completeness needs d < B"
+    if max_hamming >= n_bands:
+        # ValueError, not assert: -O strips asserts (review catch)
+        raise ValueError(f"pigeonhole completeness needs max_hamming < n_bands, got {max_hamming} >= {n_bands}")
     probe = simhash.hamming_bands(new_sigs, id_col, sig_col, n_bands, width).select(
         F.col("_id").alias("a_id"), F.col("_sig").alias("_siga"), "band_idx", "band_bits"
     )

@@ -87,6 +87,12 @@ def minhash_signatures(
     hash_fn = hash_fn or text.hash60  # hash60: oracle-grade (DuckDB md5
     # mirror); pass text.hash32 (crc32) in throughput paths — ~100x cheaper,
     # python-mirrorable via zlib.crc32, collisions only add candidates
+    if carry not in ("shingles", "hashes", "hashes32"):
+        # a typo ('hash32', 'hashes64') would otherwise fall through to the
+        # fat string carry silently (review catch) — reject it loudly
+        raise ValueError(
+            f'carry must be "shingles" | "hashes" | "hashes32", got {carry!r}'
+        )
     if carry == "hashes32" and hash_fn is not text.hash32:
         # the int32 fold below is a bijection of [0, 2^32) ONLY; a 60-bit
         # hash would silently wrap, making the fold non-injective and the
@@ -143,7 +149,10 @@ def band_keys(
     adds candidates at ~2^-64 odds, removed by the exact verify. Oracle
     paths keep strings: DuckDB mirrors concat_ws, not xxhash64."""
     r = n_perm // n_bands
-    assert r * n_bands == n_perm, "n_perm must be divisible by n_bands"
+    if r * n_bands != n_perm:
+        # ValueError, not assert: -O would silently band only the first
+        # r*n_bands coordinates, dropping recall (review catch)
+        raise ValueError(f"n_perm ({n_perm}) must be divisible by n_bands ({n_bands})")
     if hash_keys:
         key = lambda t: F.xxhash64(*[F.col(f"mh{t * r + j}") for j in range(r)])
     else:
@@ -203,12 +212,20 @@ def candidate_pairs(
       bucket; its pairs are either worthless or recovered by the exact/
       caption-signature detector's star edges. Never silent.
     """
+    if max_bucket is not None and max_bucket < 1:
+        # 0 would keep no bucket AND skip the salted regime's truthiness
+        # gate below — silent total pair loss, not "drop everything
+        # loudly" (review catch; same rule as simhash_pairs)
+        raise ValueError(f"max_bucket must be >= 1 or None (uncapped), got {max_bucket}")
     if salt_cap is not None and max_bucket is not None and salt_cap <= max_bucket:
         raise ValueError(
             f"salt_cap ({salt_cap}) must exceed max_bucket ({max_bucket}): the salted "
             "regime covers bucket sizes in (max_bucket, salt_cap]; salt_cap <= "
             "max_bucket would silently disable it while mis-reporting dropped mass"
         )
+    # max_bucket=None with salt_cap set is fine, not silent loss: uncapped
+    # mode emits EVERY pair (a superset of any salted plan), so the salting
+    # request is moot rather than ignored-with-missing-pairs.
 
     carry = est_tau is not None
     if carry and "_mh" not in banded.columns:

@@ -72,7 +72,10 @@ def simhash_pairs(
     text aggregation, media decode); leave False when ``df`` is itself a
     checkpoint/table scan — then the duplicate scan is cheaper than an
     extra materialization."""
-    assert max_hamming < n_bands, "pigeonhole completeness needs d < B"
+    if max_hamming >= n_bands:
+        # ValueError, not assert: -O would strip an assert and silently
+        # miss pairs beyond the pigeonhole bound (review catch)
+        raise ValueError(f"pigeonhole completeness needs max_hamming < n_bands, got {max_hamming} >= {n_bands}")
     if max_bucket is not None and max_bucket < 1:
         # 0 is not "drop everything" and must not silently alias the
         # uncapped fast path (ADVICE r4): reject it loudly

@@ -37,13 +37,19 @@ from pyspark.sql import types as T
 from ..functions import text
 
 
-def _exploded_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+def _exploded_hashes(
+    df: DataFrame, id_col: str, text_col: str, k: int, normalized: bool = False
+) -> DataFrame:
     """(_id, _i, _h): shingle-position hashes, explode-first (see
     minhash.exploded_shingles for why arrays-of-substrings are a trap:
-    projection collapse re-evaluates the normalization per shingle)."""
+    projection collapse re-evaluates the normalization per shingle).
+    ``normalized=True`` when ``text_col`` is already norm_text output —
+    skips a second full lower+regex pass over every doc (review catch:
+    both internal call sites pass the pre-normalized column; idempotence
+    made the duplicate pass correct but not free)."""
     base = df.select(
         F.col(id_col).alias("_id"),
-        text.norm_text(text_col).alias("_norm"),
+        (F.col(text_col) if normalized else text.norm_text(text_col)).alias("_norm"),
     )
     pos = base.select(
         "_id", "_norm",
@@ -157,7 +163,7 @@ def containment_pairs(
     )
     min_len = k + winnow_w - 1
     long_enough = base.filter(F.length("_norm") >= min_len)
-    hashes = _exploded_hashes(long_enough, "_id", "_norm", k)
+    hashes = _exploded_hashes(long_enough, "_id", "_norm", k, normalized=True)
 
     if winnow_w > 1:
         # One groupBy reassembles the positional hash array, then the whole
@@ -316,6 +322,7 @@ def containment_pairs_sa(
     text_col: str = "caption",
     k: int = 5,
     bucket_col: str | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Suffix-array containment within buckets via applyInPandas.
 
@@ -327,13 +334,24 @@ def containment_pairs_sa(
     For simplicity and exactness we replicate longs by all their shingle
     hashes that are some doc's bottom-1 (semi-join), keeping bucket contents
     small. Identical output to ``containment_pairs``.
+
+    ``max_bucket`` (review catch): the bucket key is a min-shingle hash —
+    the same adversarial hot key ``containment_pairs`` documents (a
+    globally-min-hashed stop syllable) — and each whole bucket is ONE
+    pandas task (O(total_len) concat + O(n log^2 n) suffix ranking), so a
+    mega-bucket is a single-task OOM/straggler. Setting a cap DROPS
+    oversized buckets (recall loss on their members); the default ``None``
+    keeps the exact-output contract. At scale prefer the primary
+    ``containment_pairs``, whose skew ladder handles this without loss.
     """
+    if max_bucket is not None and max_bucket < 1:
+        raise ValueError(f"max_bucket must be >= 1 or None (uncapped), got {max_bucket}")
     base = df.select(
         F.col(id_col).alias("_id"),
         text.norm_text(text_col).alias("_norm"),
     )
     long_enough = base.filter(F.length("_norm") >= k)
-    hashes = _exploded_hashes(long_enough, "_id", "_norm", k)
+    hashes = _exploded_hashes(long_enough, "_id", "_norm", k, normalized=True)
     probe = (
         hashes.groupBy("_id").agg(F.min("_h").alias("_bkt")).join(base, "_id")
         .select("_id", "_norm", "_bkt")
@@ -346,6 +364,11 @@ def containment_pairs_sa(
         .select("_id", "_norm", "_bkt")
     )
     members = probe.unionByName(longs).dropDuplicates(["_bkt", "_id"])
+    if max_bucket is not None:
+        sized = members.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_bsz"))
+        members = members.join(
+            sized.filter(F.col("_bsz") <= max_bucket).select("_bkt"), "_bkt", "left_semi"
+        )
     sa_pairs = (
         members.groupBy("_bkt")
         .applyInPandas(lambda pdf: _sa_bucket(pdf), schema=_SA_SCHEMA)

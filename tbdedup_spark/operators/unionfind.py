@@ -62,6 +62,12 @@ def connected_components(
     (direction irrelevant). Isolated nodes label themselves.
     ``catalog``: optional ``sources.catalog.Catalog`` for durable
     every-``ckpt_every``-iterations label commits + mid-loop resume.
+    RESUME IS KEYED BY ``ckpt_table`` ALONE — a committed
+    ``{ckpt_table}_iter*`` table is trusted with no check that it came from
+    THESE nodes/edges, so two CC invocations sharing a catalog run_id MUST
+    use distinct ``ckpt_table`` names or the second silently resumes the
+    first's labels (review catch; ``incremental_components`` defaults its
+    inner call to ``uf_labels_incr`` for this reason).
 
     Two iteration regimes (``delta_threshold`` switches them): label
     propagation converges front-loaded — measured on a 600k-node corpus,
@@ -295,6 +301,9 @@ def incremental_components(
     )
 
     # 3. Union-find on the contracted (batch-scale) graph.
+    # distinct checkpoint namespace: a caller forwarding the SAME catalog
+    # that the bootstrap full CC used must not cross-resume its labels
+    cc_kwargs.setdefault("ckpt_table", "uf_labels_incr")
     merged = connected_components(nodes_c, ec, id_col="id", **cc_kwargs)
 
     # 4. Re-expand: relabel history through the bounded remap; emit new rows
