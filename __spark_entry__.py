@@ -28,6 +28,7 @@ from tbdedup_spark.functions.pii import PHONE_RE as _PII_PHONE
 from tbdedup_spark.operators import (
     ann, asof, cdc, incremental, minhash, setsim, simhash, substr, unionfind,
 )
+from tbdedup_spark.plans.partitioning import fan_out_small_scan as _fan
 
 # Landed-oracle staging namespace: queries that materialize intermediates
 # for the DuckDB mirror stage them under /tmp keyed by THIS checkout's
@@ -214,10 +215,18 @@ def _minhash_pairs_df(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     sigs = minhash.minhash_signatures(
         d, "doc_id", "text", K, N_PERM, SEED, carry="hashes"
-    ).localCheckpoint()  # feeds banding + est join (x2) + hash-set join (x2)
-    banded = minhash.band_keys(sigs, N_PERM, N_BANDS)
-    cand, _ = minhash.candidate_pairs(banded, max_bucket=None)
-    return minhash.verify_jaccard(cand, sigs, TAU, est_tau=MIN_EQ / N_PERM)
+    ).localCheckpoint()  # feeds banding + hash-set verify join (x2)
+    # est prefilter INSIDE the band self-join (r6): the RAW coords ride the
+    # band rows (fold_mh=False keeps the coord-equality count bit-identical
+    # to the oracle's), so ~90% of bucket-collision junk dies before the
+    # candidate dropDuplicates exchange instead of after it — measured
+    # 3.25M -> 388k rows into that exchange, and the two est attach joins
+    # verify_jaccard(est_tau=...) needed are gone (plan: 6 joins -> 4).
+    # Same pair set by construction: est is a pure function of the pair and
+    # commutes with the dedup.
+    banded = minhash.band_keys(sigs, N_PERM, N_BANDS, carry_mh=True, fold_mh=False)
+    cand, _ = minhash.candidate_pairs(banded, max_bucket=None, est_tau=MIN_EQ / N_PERM)
+    return minhash.verify_jaccard(cand, sigs, TAU, est_tau=None)
 
 
 def _q_minhash(spark, sf_dir):
@@ -484,15 +493,21 @@ def _q_ngram_jaccard(spark, sf_dir):
     all-pairs join: candidates come only from shared rare-prefix tokens and
     are then exactly verified, so the result is identical to the brute-force
     oracle while the shuffle stays near-linear."""
-    d = _t(spark, sf_dir, "documents").select(
+    # fan-out: normalize+split+distinct per row, then the token explode and
+    # per-doc rank window downstream (plans/partitioning.py; no-op at scale)
+    d = _fan(_t(spark, sf_dir, "documents").select(
         "doc_id", "lang",
         F.array_distinct(F.split(text.norm_text("text"), " ")).alias("toks"),
-    )
+    ))
     pairs, _dropped = setsim.jaccard_pairs(
         d, "doc_id", "toks", NGRAM_TAU, block_cols=("lang",),
-        # uncapped single-shot path over a plain scan: the eager prefix
-        # materialization measured ~5% pure overhead here (ADVICE r4)
-        checkpoint=False,
+        # r6 re-measure: warm cost of the eager prefix materialization is
+        # ~0.3s (the r4 "~5% overhead" finding), but WITHOUT it the prefix
+        # subtree is duplicated into both join sides and the first execution
+        # pays double whole-stage-codegen compilation — measured 33.0s cold
+        # vs 9.5s with the checkpoint (warm 4.4s vs 4.7s). The checkpoint
+        # halves the plan and keeps cold cost bounded.
+        checkpoint=True,
     )
     return pairs.select("a_id", "b_id", F.round("score", 6).alias("score"))
 
@@ -511,9 +526,13 @@ def _q_token_counts(spark, sf_dir):
 def _q_quality(spark, sf_dir):
     """Per-document quality features (length/token/punct/stopword ratios,
     functions/text.py) — the raw signals the filter chain thresholds."""
-    d = _t(spark, sf_dir, "documents")
-    feats = text.quality_features("text")
-    return d.select(
+    # fan-out + Generate barrier: normalize once per row; all five features
+    # then reference the attribute (plans/partitioning.py + the crawl-plan
+    # inlining lesson)
+    d = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    b = d.select("doc_id", F.explode(F.array(text.norm_text("text"))).alias("_n"))
+    feats = text.quality_features("_n", normalized=True)
+    return b.select(
         "doc_id",
         feats["n_chars_norm"].alias("n_chars_norm"),
         feats["n_tokens"].alias("n_tokens"),
@@ -576,7 +595,9 @@ def _q_embedding_neardup(spark, sf_dir):
 
 
 def _doc_embeddings(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # fan-out: the per-token md5 + 64-way conditional-sum partial aggregate
+    # must not run at a single-split scan's parallelism (plans/partitioning.py)
+    d = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = d.select(
         "doc_id", F.explode(F.split(text.norm_text("text"), " ")).alias("_tok")
     ).withColumn("_h", text.hash60("_tok"))
@@ -595,9 +616,12 @@ def _q_ngram_topk(spark, sf_dir):
     of a training-data pipeline (LM contamination studies, corpus stats).
     One explode + one count groupBy (map-side combined) + a 20-row
     TakeOrdered; ties broken by the gram text so the result is total-ordered."""
-    d = _t(spark, sf_dir, "documents").select(
-        F.split(text.norm_text("text"), " ").alias("toks")
-    ).filter(F.size("toks") >= 3)
+    # fan-out: 3-gram transform + explode per row (plans/partitioning.py)
+    d = _fan(
+        _t(spark, sf_dir, "documents").select(
+            F.split(text.norm_text("text"), " ").alias("toks")
+        ).filter(F.size("toks") >= 3)
+    )
     grams = d.select(
         F.explode(
             F.expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))")
@@ -712,7 +736,8 @@ def _q_dsir_weights(spark, sf_dir):
     gate to a learned continuous score."""
     d = _t(spark, sf_dir, "documents")
     ws = F.split(text.norm_text("text"), " ")
-    base = d.select("doc_id", "lang", ws.alias("_ws")).filter(F.size("_ws") >= 2)
+    # fan-out: one md5 per bigram instance downstream (plans/partitioning.py)
+    base = _fan(d.select("doc_id", "lang", ws.alias("_ws")).filter(F.size("_ws") >= 2))
     grams = base.select(
         "doc_id",
         "lang",
@@ -817,9 +842,13 @@ def _q_decontaminate_ngram_join(spark, sf_dir):
     by construction; were it not, the same plan minus the broadcast hint is a
     bucketed shuffle equi-join) and one count groupBy per doc. No substring
     scan, no quadratic anything: cost is linear in corpus tokens."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.split(text.norm_text("text"), " ").alias("toks")
-    ).filter(F.size("toks") >= DECONTAM_N)
+    # fan-out: the n-gram explode + concat_ws per gram runs at scan
+    # parallelism (plans/partitioning.py; no-op at scale)
+    d = _fan(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", F.split(text.norm_text("text"), " ").alias("toks")
+        ).filter(F.size("toks") >= DECONTAM_N)
+    )
     grams = lambda df: df.select(
         "doc_id", F.explode(_word_ngrams("toks", DECONTAM_N)).alias("gram")
     )
@@ -840,7 +869,9 @@ def _q_hapax_counts(spark, sf_dir):
     memorization analysis. Two groupBys over the distinct (doc, token)
     relation; docs with zero hapaxes included via left join + coalesce."""
     d = _t(spark, sf_dir, "documents")
-    ex = d.select(
+    # fan-out: normalize + split + distinct + explode per row at scan
+    # parallelism otherwise (plans/partitioning.py; no-op at scale)
+    ex = _fan(d.select("doc_id", "text")).select(
         "doc_id", F.explode(F.array_distinct(F.split(text.norm_text("text"), " "))).alias("tok")
     )
     hapax = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") == 1)
@@ -1041,12 +1072,17 @@ def _q_html_text_extract(spark, sf_dir):
     multimodal decode pattern)."""
     from tbdedup_spark.functions.html import html_to_text
 
-    d = _t(spark, sf_dir, "documents")
-    clean = html_to_text(F.expr(_HTML_SYNTH))
+    # fan-out + Generate barrier: the 17-pass regex chain is the whole cost —
+    # parallelize it, and evaluate it ONCE per row (both output columns
+    # reference it; projection collapse would otherwise inline it twice)
+    d = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return d.select(
         "doc_id",
-        clean.alias("clean_text"),
-        F.length(clean).cast("long").alias("n_chars_clean"),
+        F.explode(F.array(html_to_text(F.expr(_HTML_SYNTH)))).alias("clean_text"),
+    ).select(
+        "doc_id",
+        "clean_text",
+        F.length("clean_text").cast("long").alias("n_chars_clean"),
     )
 
 
@@ -1079,7 +1115,9 @@ def _q_crawl_dedup_pipeline(spark, sf_dir):
     not just its pieces."""
     from tbdedup_spark.functions.html import html_to_text
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan-out: the per-fetch regex extraction chain is the dominant CPU and
+    # runs at scan parallelism (plans/partitioning.py; no-op at scale)
+    d = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     fetch = d.select(
         "doc_id",
         "text",
@@ -1087,23 +1125,35 @@ def _q_crawl_dedup_pipeline(spark, sf_dir):
             F.sequence(F.lit(0), (F.col("doc_id") % (CRAWL_STRIDE - 1)).cast("int"))
         ).alias("mirror"),
     )
+    # explode(array(...)) = the repo's Generate collapse barrier (see
+    # minhash.exploded_shingles): extract + normalize are evaluated ONCE per
+    # fetch. Without it, filter pushdown substitutes the whole 17-pass regex
+    # chain into every reference of the quality CASE — ~10 full inlinings,
+    # 124 regexp_replace nodes in plans/r06/crawl_dedup_pipeline_before.txt
+    # (one in the _after plan). The barrier carries the NORMALIZED text:
+    # every downstream consumer (quality features, signature, token count)
+    # only ever uses norm_text(clean), so `cnorm` + normalized=True paths
+    # compute identical values with zero re-normalization.
     page = fetch.select(
         (F.col("doc_id") * CRAWL_STRIDE + F.col("mirror")).alias("crawl_id"),
-        html_to_text(F.expr(_HTML_SYNTH)).alias("clean"),
+        F.explode(
+            F.array(text.norm_text(html_to_text(F.expr(_HTML_SYNTH))))
+        ).alias("cnorm"),
     )
     reason = text.quality_filter_reason(
-        "clean",
+        "cnorm",
         min_tokens=QF_MIN_TOKENS,
         max_tokens=QF_MAX_TOKENS,
         min_mean_tok=QF_MEAN_TOK_MIN,
         max_mean_tok=QF_MEAN_TOK_MAX,
         max_punct=QF_MAX_PUNCT,
         min_stopword=QF_MIN_STOPWORD,
+        normalized=True,
     )
     sig = page.filter(reason == "pass").select(
         "crawl_id",
-        F.sha2(F.encode(text.norm_text("clean"), "utf-8"), 256).alias("sig"),
-        text.token_count("clean").alias("n_tok"),
+        F.sha2(F.encode("cnorm", "utf-8"), 256).alias("sig"),
+        text.token_count("cnorm", normalized=True).alias("n_tok"),
     )
     return sig.groupBy("sig").agg(
         F.min("crawl_id").alias("rep_crawl_id"),
@@ -1223,9 +1273,10 @@ def _q_bm25_topk(spark, sf_dir):
     <= |queries| * |matched docs| rows. Reference analog: the planner's
     regex include predicate (tbdedup/planner/plan.py:96-102) generalized
     from boolean match to ranked relevance."""
-    d = _t(spark, sf_dir, "documents").select(
+    # fan-out: token explode + probe-term join per row (plans/partitioning.py)
+    d = _fan(_t(spark, sf_dir, "documents").select(
         "doc_id", F.split(text.norm_text("text"), " ").alias("toks")
-    )
+    ))
     dl = d.select("doc_id", F.size("toks").cast("long").alias("dl"))
     qt = spark.createDataFrame(
         [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
@@ -1310,9 +1361,11 @@ def _q_bigram_lm_nll(spark, sf_dir):
     filter (tbdedup/planner/plan.py:96-102) approximates, learned from
     the corpus instead of hand-written."""
     d = _t(spark, sf_dir, "documents")
-    base = d.select(
+    # fan-out: the bigram struct explode + two count groupBys downstream
+    # start from this projection (plans/partitioning.py; no-op at scale)
+    base = _fan(d.select(
         "doc_id", F.split(text.norm_text("text"), " ").alias("_ws")
-    )
+    ))
     vocab = base.select(F.explode("_ws").alias("w")).agg(
         F.countDistinct("w").alias("v")
     )
@@ -1376,9 +1429,10 @@ def _q_paragraph_dedup(spark, sf_dir):
     aggregate, not a window: no hot-key single-task risk when one
     boilerplate paragraph appears 10^9 times), a per-doc count of the
     winners, and a broadcast-able join back to per-doc totals."""
-    d = _t(spark, sf_dir, "documents").select(
+    # fan-out: PARA_W-token chunking + md5 per paragraph (plans/partitioning.py)
+    d = _fan(_t(spark, sf_dir, "documents").select(
         "doc_id", F.split(text.norm_text("text"), " ").alias("toks")
-    )
+    ))
     paras = d.select(
         "doc_id",
         F.posexplode(
@@ -1438,9 +1492,13 @@ def _q_repetition_scores(spark, sf_dir):
     never explode into rows and nothing aggregates across docs (contrast
     hapax_counts, which needs the corpus-wide groupBy by definition). At
     10^12 docs this is a pure map."""
-    d = _t(spark, sf_dir, "documents").select(
+    # fan-out: the three HOF signals are heavy per-row codegen work — a
+    # single-split scan runs them serially (plans/partitioning.py). Still
+    # zero CORPUS-sized shuffles: the one exchange moves the 5k-row
+    # projection, only when the scan under-splits.
+    d = _fan(_t(spark, sf_dir, "documents").select(
         "doc_id", F.split(text.norm_text("text"), " ").alias("toks")
-    )
+    ))
 
     def grams(n):
         # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty —
@@ -1508,19 +1566,30 @@ def _q_quality_filter_chain(spark, sf_dir):
     Scale shape: ONE whole-stage-codegen projection over the parquet scan
     (the CASE shares the feature subexpressions) — zero shuffles, zero
     Python, pure map at 10^12 docs."""
+    # fan-out + two Generate barriers (the crawl-plan lesson): normalize once
+    # per row, then evaluate the CASE once per row — the naive form inlines
+    # the lower+regex normalization into every CASE branch AND computes the
+    # whole CASE twice (fail_reason + passed).
+    d = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    b = d.select(
+        "doc_id", F.explode(F.array(text.norm_text("text"))).alias("_n")
+    )
     reason = text.quality_filter_reason(
-        "text",
+        "_n",
         min_tokens=QF_MIN_TOKENS,
         max_tokens=QF_MAX_TOKENS,
         min_mean_tok=QF_MEAN_TOK_MIN,
         max_mean_tok=QF_MEAN_TOK_MAX,
         max_punct=QF_MAX_PUNCT,
         min_stopword=QF_MIN_STOPWORD,
+        normalized=True,
     )
-    return _t(spark, sf_dir, "documents").select(
+    return b.select(
+        "doc_id", F.explode(F.array(reason)).alias("fail_reason")
+    ).select(
         "doc_id",
-        reason.alias("fail_reason"),
-        F.when(reason == "pass", 1).otherwise(0).cast("long").alias("passed"),
+        "fail_reason",
+        F.when(F.col("fail_reason") == "pass", 1).otherwise(0).cast("long").alias("passed"),
     )
 
 
@@ -1715,8 +1784,9 @@ def _q_countmin_heavy_hitters(spark, sf_dir):
     Reference analog: buildSummary's per-hash message-count map
     (/root/reference/tbdedup/dedup/__init__.py:180-210), with bounded
     memory instead of one dict entry per distinct key."""
+    # fan-out: 4 md5s per token instance (plans/partitioning.py; no-op at scale)
     toks = (
-        _t(spark, sf_dir, "documents")
+        _fan(_t(spark, sf_dir, "documents").select("text"))
         .select(F.explode(F.split(text.norm_text("text"), " ")).alias("tok"))
         .filter(F.length("tok") > 0)
     )

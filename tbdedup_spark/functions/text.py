@@ -46,11 +46,13 @@ def perm_coeffs(n_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     return out
 
 
-def norm_text(col: str) -> Column:
+def norm_text(col: str | Column) -> Column:
     """lower + whitespace collapse + trim — the canonicalization step
     (the analog of the reference's latin1/utf-8 normalization pre-hash,
-    tbdedup/utils/encoder.py:18-28)."""
-    return F.trim(F.regexp_replace(F.lower(F.col(col)), r"\s+", " "))
+    tbdedup/utils/encoder.py:18-28). Accepts a column name or Column
+    expression (the hash60/hash32 convention). Idempotent."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
 def norm_text_sql(col: str) -> str:
@@ -169,9 +171,12 @@ STOPWORDS = (
 ).split()
 
 
-def token_count(col: str) -> Column:
-    """Whitespace token count (0 for empty)."""
-    n = norm_text(col)
+def token_count(col: str, normalized: bool = False) -> Column:
+    """Whitespace token count (0 for empty). ``normalized=True`` when ``col``
+    already holds norm_text output (skips re-normalizing — norm_text is
+    idempotent, so results are identical, but the lower+regex pass is paid
+    once upstream instead of once per reference)."""
+    n = F.col(col) if normalized else norm_text(col)
     return F.when(F.length(n) == 0, 0).otherwise(F.size(F.split(n, " "))).cast("long")
 
 
@@ -184,9 +189,14 @@ def bpe_ish_token_count(col: str) -> Column:
     return F.size(F.regexp_extract_all(F.col(col), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)).cast("long")
 
 
-def quality_features(col: str) -> dict[str, Column]:
-    """Length / punctuation-ratio / stopword-ratio features for corpus QC."""
-    n = norm_text(col)
+def quality_features(col: str, normalized: bool = False) -> dict[str, Column]:
+    """Length / punctuation-ratio / stopword-ratio features for corpus QC.
+
+    ``normalized=True``: ``col`` is already norm_text output — every feature
+    then references the attribute instead of inlining the lower+regex
+    normalization once PER FEATURE (and, under filter pushdown, once per
+    CASE branch of the filter chain — the r6 crawl-plan finding)."""
+    n = F.col(col) if normalized else norm_text(col)
     toks = F.split(n, " ")
     n_tok = F.size(toks).cast("double")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -213,6 +223,7 @@ def quality_filter_reason(
     max_mean_tok: float,
     max_punct: float,
     min_stopword: float,
+    normalized: bool = False,
 ) -> Column:
     """Gopher/C4-style quality filter CHAIN: the ordered rule list every LLM
     data pipeline applies before training (Rae et al. 2021 Table A1; Raffel
@@ -231,7 +242,7 @@ def quality_filter_reason(
     match to feature thresholds. Scale shape: a single whole-stage-codegen
     projection over the scan — zero shuffles, zero Python, pure map at
     10^12 docs."""
-    feats = quality_features(col)
+    feats = quality_features(col, normalized=normalized)
     n_tok = feats["n_tokens"]
     mtl = F.round(feats["mean_token_len"], 6)
     punct = F.round(feats["punct_ratio"], 6)

@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import text
+from ..plans.partitioning import fan_out_small_scan
 
 
 def edit_distance_pairs(
@@ -70,7 +71,9 @@ def edit_distance_pairs(
 
     # Explode-first (minhash.exploded_shingles lesson: arrays of substrings
     # re-evaluate the normalization per gram under projection collapse).
-    pos = norm.select(
+    # Fan-out: the ~len/1 md5-per-position stage must not run at a
+    # single-split scan's parallelism (plans/partitioning.py; no-op at scale).
+    pos = fan_out_small_scan(norm).select(
         "_id",
         "_n",
         F.explode(F.expr(f"sequence(0, length(_t) - {q})")).alias("_i"),

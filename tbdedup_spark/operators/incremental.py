@@ -82,7 +82,8 @@ def exact_matches(
 
 
 def candidate_pairs_cross(
-    banded_new: DataFrame, banded_hist: DataFrame, hint=F.broadcast
+    banded_new: DataFrame, banded_hist: DataFrame, hint=F.broadcast,
+    est_tau: float | None = None,
 ) -> DataFrame:
     """(a_id=new, b_id=hist) pairs sharing >= 1 LSH band bucket.
 
@@ -92,13 +93,30 @@ def candidate_pairs_cross(
     disjoint by contract). Bucket skew cannot blow up a task the way the
     self-join's quadratic buckets can: a history bucket of size S yields at
     most S * |new-in-bucket| pairs, linear in S.
+
+    ``est_tau`` (requires both sides built with ``carry_mh=True``): the
+    estimated-Jaccard prefilter applied INSIDE the cross join — junk
+    candidates die before the dropDuplicates exchange instead of being
+    attached-and-filtered by two extra joins in ``verify_jaccard`` (the r6
+    self-join optimization, minhash.candidate_pairs). Same pair set: est is
+    a pure function of the pair and commutes with the dedup.
     """
-    probe = banded_new.select(
-        F.col("_id").alias("a_id"), "band_idx", "band_key"
-    )
+    carry = est_tau is not None
+    if carry and ("_mh" not in banded_new.columns or "_mh" not in banded_hist.columns):
+        raise ValueError("est_tau requires banded rows built with carry_mh=True")
+    probe_cols = [F.col("_id").alias("a_id"), "band_idx", "band_key"]
+    if carry:
+        probe_cols.append(F.col("_mh").alias("_mha"))
+    probe = banded_new.select(*probe_cols)
+    joined = banded_hist.join(hint(probe), ["band_idx", "band_key"])
+    if carry:
+        est = (
+            F.size(F.filter(F.zip_with("_mha", "_mh", lambda x, y: x == y), lambda v: v))
+            / F.size("_mha").cast("double")
+        )
+        joined = joined.filter(est >= est_tau)
     return (
-        banded_hist.join(hint(probe), ["band_idx", "band_key"])
-        .select("a_id", F.col("_id").alias("b_id"))
+        joined.select("a_id", F.col("_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
 
@@ -144,15 +162,6 @@ def tiered_dedup(
     n_bands for band rows) exceeds this; ``None`` skips the count and keeps
     the unconditional small-batch broadcast contract.
     """
-    n_new = new_df.count() if broadcast_threshold is not None else None
-    hint_ids = _batch_hint(n_new, broadcast_threshold)
-    hint_band = _batch_hint(n_new, broadcast_threshold, n_bands)
-
-    sig = F.sha2(F.encode(text.norm_text(text_col), "utf-8"), 256)
-    new_sigs = new_df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
-    hist_sigs = hist_df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
-    exact_ids = exact_matches(new_sigs, hist_sigs, hint=hint_ids)
-
     mh_new = minhash.minhash_signatures(
         new_df, id_col, text_col, k, n_perm, seed, carry=carry
     )
@@ -167,15 +176,39 @@ def tiered_dedup(
         mh_new = mh_new.localCheckpoint()
         if hist_mh_sigs is None:  # a supplied table is already materialized
             mh_hist = mh_hist.localCheckpoint()
+
+    # Batch bound for the guarded broadcast hints. When the batch signature
+    # relation was just checkpointed, count THAT (a scan of materialized
+    # partitions; one row per batch doc) instead of new_df — counting new_df
+    # re-executes its whole upstream lineage once more, which is exactly the
+    # expensive-upstream case the checkpoint knob exists for (ADVICE r5).
+    if broadcast_threshold is None:
+        n_new = None
+    elif checkpoint:
+        n_new = mh_new.count()
+    else:
+        n_new = new_df.count()
+    hint_ids = _batch_hint(n_new, broadcast_threshold)
+    hint_band = _batch_hint(n_new, broadcast_threshold, n_bands)
+
+    sig = F.sha2(F.encode(text.norm_text(text_col), "utf-8"), 256)
+    new_sigs = new_df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    hist_sigs = hist_df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    exact_ids = exact_matches(new_sigs, hist_sigs, hint=hint_ids)
+    # est prefilter INSIDE the cross join (raw coords — bit-exact vs the
+    # oracle's coord-equality count); verify_jaccard then only does the
+    # exact hash-set check. Band rows carry n_perm longs extra, still
+    # batch-bounded on the broadcast side.
     cand = candidate_pairs_cross(
-        minhash.band_keys(mh_new, n_perm, n_bands),
-        minhash.band_keys(mh_hist, n_perm, n_bands),
+        minhash.band_keys(mh_new, n_perm, n_bands, carry_mh=est_tau is not None, fold_mh=False),
+        minhash.band_keys(mh_hist, n_perm, n_bands, carry_mh=est_tau is not None, fold_mh=False),
         hint=hint_band,
+        est_tau=est_tau,
     )
     # the verify joins see a candidate relation bounded by the batch's
     # bucket collisions — AQE broadcasts it against the signature relations
     near = minhash.verify_jaccard(
-        cand, mh_new.unionByName(mh_hist), tau, est_tau=est_tau
+        cand, mh_new.unionByName(mh_hist), tau, est_tau=None
     )
     near_ids = (
         near.select(F.col("a_id").alias("_id"))

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text
+from ..plans.partitioning import fan_out_small_scan
 
 
 def exploded_shingles(
@@ -45,10 +46,17 @@ def exploded_shingles(
     bottleneck: 31/32 threads in CollationSupport$Lower). The Generate
     (explode) node is a collapse boundary: ``norm`` is evaluated once per
     input row and downstream substrings reference the materialized column.
+
+    The narrow (id, norm) base is fanned out to the session's parallelism
+    when the scan under-splits (plans/partitioning.py — single-row-group
+    corpora otherwise run the ~len(doc) md5s/row on ONE task; no-op at
+    real corpus scale).
     """
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        text.norm_text(text_col).alias("_norm"),
+    base = fan_out_small_scan(
+        df.select(
+            F.col(id_col).alias("_id"),
+            text.norm_text(text_col).alias("_norm"),
+        )
     )
     pos = base.select(
         "_id",
@@ -132,6 +140,7 @@ def band_keys(
     n_bands: int = 8,
     carry_mh: bool = False,
     hash_keys: bool = False,
+    fold_mh: bool = True,
 ) -> DataFrame:
     """(id, band_idx, band_key[, _mh]): concat r=n_perm/n_bands minhashes per band.
 
@@ -142,6 +151,12 @@ def band_keys(
     the fold preserves for true equals, and a false coord-equal (~2^-31 per
     unequal coord) can only add a candidate for the exact verify to reject.
     Half the bytes of the long form on the join's both sides.
+
+    ``fold_mh=False`` carries the RAW long coords instead: ~2x the bytes,
+    but the in-join est filter becomes BIT-EXACTLY the coord-equality count
+    the DuckDB oracle states (no fold collisions, however improbable) —
+    required when the est threshold is part of an oracle-mirrored contract
+    rather than a recall-safe prefilter.
 
     ``hash_keys`` (throughput paths): band_key = xxhash64 of the band's
     coords (8 bytes) instead of the "-"-joined decimal string (~40 bytes for
@@ -166,15 +181,16 @@ def band_keys(
     cols = [F.col("_id"), F.explode(bands).alias("b")]
     out = ["_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")]
     if carry_mh:
-        cols.insert(
-            1,
-            F.array(
+        if fold_mh:
+            mh_arr = F.array(
                 *[
                     F.pmod(F.col(f"mh{j}"), F.lit(2147483647)).cast("int")
                     for j in range(n_perm)
                 ]
-            ).alias("_mh"),
-        )
+            )
+        else:
+            mh_arr = F.array(*[F.col(f"mh{j}") for j in range(n_perm)])
+        cols.insert(1, mh_arr.alias("_mh"))
         out.insert(1, F.col("_mh"))
     return sigs.select(*cols).select(*out)
 
@@ -350,14 +366,36 @@ def verify_jaccard(
             .filter(est >= est_tau)
             .select("a_id", "b_id")
         )
-    sh = sigs.select(F.col("_id"), F.col("_shingles"))
+    # |A ∪ B| = |A| + |B| - |A ∩ B| for the distinct-element set columns, so
+    # one array_intersect (hash-set build + probe) replaces intersect + union
+    # — exactly half the per-pair set work, same integer sizes, bit-identical
+    # score (r6; the oracle computes the same value its own way). _inter is
+    # its own projection: CollapseProject keeps the non-cheap multi-referenced
+    # expression from being inlined twice into the score formula.
+    sh = sigs.select(
+        F.col("_id"), F.col("_shingles"), F.size("_shingles").alias("_nsh")
+    )
     out = (
-        pairs.join(sh.select(F.col("_id").alias("a_id"), F.col("_shingles").alias("_sha")), "a_id")
-        .join(sh.select(F.col("_id").alias("b_id"), F.col("_shingles").alias("_shb")), "b_id")
+        pairs.join(
+            sh.select(
+                F.col("_id").alias("a_id"),
+                F.col("_shingles").alias("_sha"),
+                F.col("_nsh").alias("_na"),
+            ),
+            "a_id",
+        )
+        .join(
+            sh.select(
+                F.col("_id").alias("b_id"),
+                F.col("_shingles").alias("_shb"),
+                F.col("_nsh").alias("_nb"),
+            ),
+            "b_id",
+        )
+        .withColumn("_inter", F.size(F.array_intersect("_sha", "_shb")))
         .withColumn(
             "score",
-            F.size(F.array_intersect("_sha", "_shb"))
-            / F.size(F.array_union("_sha", "_shb")).cast("double"),
+            F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
         )
         .filter(F.col("score") >= tau)
         .select("a_id", "b_id", F.lit("minhash").alias("detector"), "score")

@@ -120,14 +120,29 @@ def jaccard_pairs(
         .dropDuplicates(["a_id", "b_id"])
     )
 
-    toks = docs.select("_id", "_toks")
+    # |A ∪ B| = |A| + |B| - |A ∩ B| (tokens_col is distinct by contract): one
+    # array_intersect instead of intersect + union — half the per-pair
+    # hash-set work, bit-identical score (r6, same as minhash.verify_jaccard)
+    toks = docs.select("_id", "_toks", F.size("_toks").alias("_n"))
     pairs = (
-        cand.join(toks.select(F.col("_id").alias("a_id"), F.col("_toks").alias("_ta")), "a_id")
-        .join(toks.select(F.col("_id").alias("b_id"), F.col("_toks").alias("_tb")), "b_id")
+        cand.join(
+            toks.select(
+                F.col("_id").alias("a_id"), F.col("_toks").alias("_ta"),
+                F.col("_n").alias("_na"),
+            ),
+            "a_id",
+        )
+        .join(
+            toks.select(
+                F.col("_id").alias("b_id"), F.col("_toks").alias("_tb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "b_id",
+        )
+        .withColumn("_inter", F.size(F.array_intersect("_ta", "_tb")))
         .withColumn(
             "score",
-            F.size(F.array_intersect("_ta", "_tb"))
-            / F.size(F.array_union("_ta", "_tb")).cast("double"),
+            F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
         )
         .filter(F.col("score") >= tau)
         .select("a_id", "b_id", "score")

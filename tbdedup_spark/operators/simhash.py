@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text
+from ..plans.partitioning import fan_out_small_scan
 
 
 def hamming_bands(
@@ -126,11 +127,16 @@ def text_simhash(
 
     One explode over tokens + one groupBy(id) with W conditional-sum
     aggregates (map-side combined). Mirrors exactly in DuckDB
-    (functions/text.simhash_sql) for the oracle.
+    (functions/text.simhash_sql) for the oracle. The narrow (id, text)
+    projection is fanned out when the scan under-splits
+    (plans/partitioning.py) so the per-token md5 + W-way partial aggregate
+    parallelize; no-op at real corpus scale.
     """
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.split(text.norm_text(text_col), " ")).alias("_tok"),
+    toks = fan_out_small_scan(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    ).select(
+        "_id",
+        F.explode(F.split(text.norm_text("_t"), " ")).alias("_tok"),
     ).withColumn("_h", text.hash60("_tok"))
     sums = toks.groupBy("_id").agg(*text.simhash_bit_sums("_h", width))
     return sums.select("_id", text.simhash_assemble(width).alias("simhash"))

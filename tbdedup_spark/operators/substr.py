@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import text
+from ..plans.partitioning import fan_out_small_scan
 
 
 def _exploded_hashes(
@@ -46,10 +47,14 @@ def _exploded_hashes(
     ``normalized=True`` when ``text_col`` is already norm_text output —
     skips a second full lower+regex pass over every doc (review catch:
     both internal call sites pass the pre-normalized column; idempotence
-    made the duplicate pass correct but not free)."""
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        (F.col(text_col) if normalized else text.norm_text(text_col)).alias("_norm"),
+    made the duplicate pass correct but not free). The base is fanned out
+    when the scan under-splits (plans/partitioning.py) so the per-position
+    crc32 stage parallelizes on small corpora; no-op at scale."""
+    base = fan_out_small_scan(
+        df.select(
+            F.col(id_col).alias("_id"),
+            (F.col(text_col) if normalized else text.norm_text(text_col)).alias("_norm"),
+        )
     )
     pos = base.select(
         "_id", "_norm",

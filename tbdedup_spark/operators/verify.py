@@ -107,9 +107,18 @@ def check_members(
         # toks('') is [''], making two empty captions similarity-1.0). Gate
         # both caption branches on non-emptiness; empty-captioned members
         # fall through to the PSNR pixel proof.
+        # coalesce(..., False): a NULL caption (schema says non-nullable, but
+        # precondition-level holes must not silently drop rows) makes _cap_ev
+        # NULL, _cap_contain NULL, and cheap_ok NULL — a row neither
+        # filter(cheap_ok) nor filter(~cheap_ok) keeps, i.e. it would VANISH
+        # from the checked output. With the coalesce a NULL caption falls
+        # through to the PSNR pixel proof exactly like an empty one (ADVICE r5).
         .withColumn(
             "_cap_ev",
-            (F.length(F.trim("_mc")) > 0) & (F.length(F.trim("_rc")) > 0),
+            F.coalesce(
+                (F.length(F.trim("_mc")) > 0) & (F.length(F.trim("_rc")) > 0),
+                F.lit(False),
+            ),
         )
         .withColumn(
             "_cap_sim",

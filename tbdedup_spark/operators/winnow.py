@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tbdedup_spark.functions import text
+from tbdedup_spark.plans.partitioning import fan_out_small_scan
 
 POS_ENC = 4_294_967_296  # 2^32: (hash, pos) packed into one orderable int64
 
@@ -55,8 +56,10 @@ def winnow_fingerprints(
     hash_fn = text.hash60 if hash_fn is None else hash_fn
     # docs shorter than k yield no grams; the filter must come BEFORE the
     # explode — sequence(0, negative) is DESCENDING in Spark and substr
-    # with a negative start counts from the string end (garbage grams)
-    grams = df.filter(F.length(text_col) >= k).select(
+    # with a negative start counts from the string end (garbage grams).
+    # Fan-out: the per-gram hash + per-doc window must not run at a
+    # single-split scan's parallelism (plans/partitioning.py; no-op at scale)
+    grams = fan_out_small_scan(df.filter(F.length(text_col) >= k)).select(
         id_col,
         F.posexplode(
             F.expr(
@@ -123,10 +126,17 @@ def winnow_dup_pairs(
         raise ValueError(f"tau must be in (0, 1], got {tau}")
     if df_cap < 1 or min_shared < 1:
         raise ValueError(f"df_cap and min_shared must be >= 1")
+    # One narrow materialization: the fingerprint subtree (explode + per-doc
+    # window + distinct) fans out to FOUR consumers (the df-cap aggregate,
+    # both pair-join sides via `kept`, and the per-doc set sizes) and Spark
+    # does not reuse exchanges across them — the r6 plan audit measured the
+    # whole subtree re-executing per consumer (8 scans/8 windows in one plan,
+    # plans/r06/winnow_dup_pairs_before.txt). (id, fp) is 16 bytes/row.
     sets = (
         winnow_fingerprints(df, id_col, text_col, k, w, hash_fn)
         .select(id_col, "fp")
         .distinct()
+        .localCheckpoint()
     )
     rare = (
         sets.groupBy("fp")
