@@ -39,16 +39,22 @@ def topk_bruteforce(
     Probes are broadcast (they are small by contract — ANN with a huge probe
     side should use ``topk_lsh``). Deterministic tie-break on neighbor id.
     """
+    # norms precomputed ONCE PER ROW (r6): cosine = dot / (norm_a * norm_b)
+    # with the identical norm expression evaluated in the row projection
+    # instead of once per candidate pair — bit-identical score, ~60% fewer
+    # per-pair flops (the norm is 2/3 of the naive per-pair work)
     p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv"),
+        vectors.norm(vec_col).alias("_pn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        vectors.norm(vec_col).alias("_cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(p))
         .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn("score", vectors.cosine("_pv", "_cv"))
+        .withColumn("score", vectors.dot("_pv", "_cv") / (F.col("_pn") * F.col("_cn")))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
@@ -78,24 +84,28 @@ def topk_lsh(
     candidates — recall < 1 by design, measured in tests vs brute force).
     """
     proj = vectors.seeded_projections(n_bits, dim, seed)
-    sig = lambda df, idn, vn: df.select(
+    # per-row norms precomputed (r6, see topk_bruteforce): bit-identical
+    # score at ~1/3 the per-candidate flops
+    sig = lambda df, idn, vn, nn: df.select(
         F.col(id_col).alias(idn), F.col(vec_col).alias(vn),
+        vectors.norm(vec_col).alias(nn),
         vectors.lsh_signature(vec_col, proj).alias("_sig"),
     )
-    c = sig(corpus, "neighbor_id", "_cv")
-    p = sig(probes, "probe_id", "_pv")
+    c = sig(corpus, "neighbor_id", "_cv", "_cn")
+    p = sig(probes, "probe_id", "_pv", "_pn")
     if multiprobe_hamming1:
         flips = F.array(*[F.lit(0)] + [F.lit(1 << j) for j in range(n_bits)])
         p = p.select(
-            "probe_id", "_pv", F.explode(flips).alias("_flip"), "_sig"
+            "probe_id", "_pv", "_pn", F.explode(flips).alias("_flip"), "_sig"
         ).select(
-            "probe_id", "_pv", F.col("_sig").bitwiseXOR(F.col("_flip")).alias("_sig")
+            "probe_id", "_pv", "_pn",
+            F.col("_sig").bitwiseXOR(F.col("_flip")).alias("_sig"),
         )
     cand = (
         c.join(p, "_sig")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .dropDuplicates(["probe_id", "neighbor_id"])
-        .withColumn("score", vectors.cosine("_pv", "_cv"))
+        .withColumn("score", vectors.dot("_pv", "_cv") / (F.col("_pn") * F.col("_cn")))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
@@ -148,6 +158,9 @@ def neardup_pairs(
     sigs = df.select(
         F.col(id_col).alias("_vid"),
         F.col(vec_col).alias("_v"),
+        # per-row norm precomputed once (r6): the cosine verify then pays
+        # only the dot per candidate pair — bit-identical score
+        vectors.norm(vec_col).alias("_nrm"),
         vectors.lsh_signature(vec_col, proj).alias("_esig"),
     )
     # signature relation is tiny (id + vec + long); reuse it for banding and
@@ -173,13 +186,20 @@ def neardup_pairs(
         max_bucket=max_bucket,
         detector_name="embedding",
     )
-    va = sigs.select(F.col("_vid").alias("a_id"), F.col("_v").alias("_va"))
-    vb = sigs.select(F.col("_vid").alias("b_id"), F.col("_v").alias("_vb"))
+    va = sigs.select(
+        F.col("_vid").alias("a_id"), F.col("_v").alias("_va"), F.col("_nrm").alias("_na")
+    )
+    vb = sigs.select(
+        F.col("_vid").alias("b_id"), F.col("_v").alias("_vb"), F.col("_nrm").alias("_nb")
+    )
     return (
         cand.select("a_id", "b_id")
         .join(va, "a_id")
         .join(vb, "b_id")
-        .withColumn("score", F.round(vectors.cosine("_va", "_vb"), 6))
+        .withColumn(
+            "score",
+            F.round(vectors.dot("_va", "_vb") / (F.col("_na") * F.col("_nb")), 6),
+        )
         .filter(F.col("score") >= tau)
         .select("a_id", "b_id", "score")
     )
@@ -282,6 +302,7 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        vectors.norm(vec_col).alias("_cn"),  # per-row norm (r6)
         F.coalesce(
             F.element_at(cells_udf(F.col(vec_col)), 1), F.lit(-1)
         ).alias("_cell"),
@@ -289,6 +310,7 @@ def ivf_topk(
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("_pv"),
+        vectors.norm(vec_col).alias("_pn"),  # per-row norm (r6)
         F.explode(cells_udf(F.col(vec_col))).alias("_cell"),
     )
     if assignments_out_path is not None:
@@ -310,7 +332,7 @@ def ivf_topk(
         c.join(p, "_cell")
         .filter(F.col("probe_id") != F.col("neighbor_id"))
         .dropDuplicates(["probe_id", "neighbor_id"])
-        .withColumn("score", vectors.cosine("_pv", "_cv"))
+        .withColumn("score", vectors.dot("_pv", "_cv") / (F.col("_pn") * F.col("_cn")))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
@@ -398,6 +420,7 @@ def semdedup(
     asg = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
+        vectors.norm(vec_col).alias("_nrm"),  # per-row norm (r6)
         # coalesce: provably non-null join key, same reason as ivf_topk
         F.coalesce(cell_udf(F.col(vec_col)), F.lit(-1)).alias("cell"),
     ).localCheckpoint()
@@ -408,12 +431,18 @@ def semdedup(
         asg.select(F.col("_id").alias(id_col), "cell").write.mode(
             "overwrite"
         ).parquet(assignments_out_path)
-    a = asg.select(F.col("_id").alias("a_id"), "cell", F.col("_v").alias("_va"))
-    b = asg.select(F.col("_id").alias("b_id"), "cell", F.col("_v").alias("_vb"))
+    a = asg.select(
+        F.col("_id").alias("a_id"), "cell", F.col("_v").alias("_va"),
+        F.col("_nrm").alias("_na"),
+    )
+    b = asg.select(
+        F.col("_id").alias("b_id"), "cell", F.col("_v").alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+    )
     dropped = (
         a.join(b, "cell")
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(vectors.cosine("_va", "_vb") >= tau)
+        .filter(vectors.dot("_va", "_vb") / (F.col("_na") * F.col("_nb")) >= tau)
         .select(F.col("b_id").alias("_id"))
         .distinct()
     )

@@ -80,11 +80,13 @@ def jaccard_pairs(
     # round an exact tau*n UP, which would shrink the prefix below the bound)
     p_len = (F.col("_sz") - F.ceil(F.lit(tau) * F.col("_sz") - F.lit(1e-9)) + 1).cast("int")
     w = Window.partitionBy("_id").orderBy("_df", "_tok")
+    # _sz and _rn ride the prefix rows (two ints): they power the PPJoin
+    # length + positional prunes inside the candidate join below
     prefix = (
         ex.join(freq, "_tok")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= p_len)
-        .select("_id", *blocks, "_tok")
+        .select("_id", *blocks, "_tok", "_sz", "_rn")
     )
     # the prefix subtree (explode + freq join + per-doc window) is consumed
     # by both candidate self-join sides — plus the postings groupBy and cap
@@ -112,10 +114,47 @@ def jaccard_pairs(
             .withColumn("postings", F.lit(0).cast("long"))
         )
 
+    # PPJoin prunes INSIDE the candidate join (Xiao et al. 2008, public —
+    # both are necessary conditions for J >= tau, so candidates stay an
+    # exact superset and the verify keeps the result identical):
+    #
+    # * length filter: J >= tau forces tau*|A| <= |B| and tau*|B| <= |A| —
+    #   instance-independent, prunes cross-size junk.
+    # * positional filter: for the FIRST token shared by both prefixes, no
+    #   common token precedes it in the global (df, tok) order (an earlier
+    #   common token would rank earlier in BOTH docs, hence sit in both
+    #   prefixes — contradiction), so the true overlap o satisfies
+    #   o <= 1 + min(|A| - rn_a, |B| - rn_b); J >= tau forces
+    #   o >= tau/(1+tau) * (|A| + |B|). An instance failing the test cannot
+    #   be that first-shared instance of a true pair, and the first-shared
+    #   instance of every true pair passes — keep-if-ANY-instance-passes is
+    #   therefore complete. The 1e-9 guards float noise from rounding an
+    #   exact boundary UP (same discipline as p_len).
+    #
+    # Junk pairs die before the dropDuplicates exchange — the hot-stopword
+    # postings self-join was the dominant candidate mass (guide §2.3).
+    _req = F.ceil(
+        F.lit(tau / (1.0 + tau)) * (F.col("_sza") + F.col("_szb")) - F.lit(1e-9)
+    )
+    _ub = F.lit(1) + F.least(
+        F.col("_sza") - F.col("_rna"), F.col("_szb") - F.col("_rnb")
+    )
     cand = (
-        prefix.select(F.col("_id").alias("a_id"), *blocks, "_tok")
-        .join(prefix.select(F.col("_id").alias("b_id"), *blocks, "_tok"), ["_tok", *blocks])
+        prefix.select(
+            F.col("_id").alias("a_id"), *blocks, "_tok",
+            F.col("_sz").alias("_sza"), F.col("_rn").alias("_rna"),
+        )
+        .join(
+            prefix.select(
+                F.col("_id").alias("b_id"), *blocks, "_tok",
+                F.col("_sz").alias("_szb"), F.col("_rn").alias("_rnb"),
+            ),
+            ["_tok", *blocks],
+        )
         .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.col("_szb") >= F.ceil(F.lit(tau) * F.col("_sza") - F.lit(1e-9)))
+        .filter(F.col("_sza") >= F.ceil(F.lit(tau) * F.col("_szb") - F.lit(1e-9)))
+        .filter(_ub >= _req)
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
