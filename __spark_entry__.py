@@ -869,9 +869,10 @@ def _q_hapax_counts(spark, sf_dir):
     memorization analysis. Two groupBys over the distinct (doc, token)
     relation; docs with zero hapaxes included via left join + coalesce."""
     d = _t(spark, sf_dir, "documents")
-    # fan-out: normalize + split + distinct + explode per row at scan
-    # parallelism otherwise (plans/partitioning.py; no-op at scale)
-    ex = _fan(d.select("doc_id", "text")).select(
+    # NO fan-out (r6, measured 0.5s -> 0.9s with it): `ex` feeds two
+    # consumers (the hapax df-filter and the per-doc join), each re-paying
+    # the repartition; the explode itself is hash-free and cheap.
+    ex = d.select(
         "doc_id", F.explode(F.array_distinct(F.split(text.norm_text("text"), " "))).alias("tok")
     )
     hapax = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") == 1)
@@ -1273,10 +1274,12 @@ def _q_bm25_topk(spark, sf_dir):
     <= |queries| * |matched docs| rows. Reference analog: the planner's
     regex include predicate (tbdedup/planner/plan.py:96-102) generalized
     from boolean match to ranked relevance."""
-    # fan-out: token explode + probe-term join per row (plans/partitioning.py)
-    d = _fan(_t(spark, sf_dir, "documents").select(
+    # NO fan-out (r6, measured 2.4s -> 3.0s with it): `d` feeds two
+    # consumers (dl + the token explode) which each re-pay the repartition;
+    # the explode is a cheap split with no per-token hashing.
+    d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.split(text.norm_text("text"), " ").alias("toks")
-    ))
+    )
     dl = d.select("doc_id", F.size("toks").cast("long").alias("dl"))
     qt = spark.createDataFrame(
         [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
@@ -1361,11 +1364,14 @@ def _q_bigram_lm_nll(spark, sf_dir):
     filter (tbdedup/planner/plan.py:96-102) approximates, learned from
     the corpus instead of hand-written."""
     d = _t(spark, sf_dir, "documents")
-    # fan-out: the bigram struct explode + two count groupBys downstream
-    # start from this projection (plans/partitioning.py; no-op at scale)
-    base = _fan(d.select(
+    # NO fan-out here (r6, measured): `base` fans out to TWO consumers
+    # (vocab + inst) and each would re-execute the repartition exchange —
+    # measured 2.7s -> 3.4s with the fan. The explodes are cheap token
+    # splits (no per-token md5), so the single-split scan is not the
+    # bottleneck the hash-heavy paths have.
+    base = d.select(
         "doc_id", F.split(text.norm_text("text"), " ").alias("_ws")
-    ))
+    )
     vocab = base.select(F.explode("_ws").alias("w")).agg(
         F.countDistinct("w").alias("v")
     )
@@ -1429,10 +1435,13 @@ def _q_paragraph_dedup(spark, sf_dir):
     aggregate, not a window: no hot-key single-task risk when one
     boilerplate paragraph appears 10^9 times), a per-doc count of the
     winners, and a broadcast-able join back to per-doc totals."""
-    # fan-out: PARA_W-token chunking + md5 per paragraph (plans/partitioning.py)
-    d = _fan(_t(spark, sf_dir, "documents").select(
+    # NO fan-out (r6, measured 0.9s -> 1.5s floor with it): `d` feeds two
+    # consumers (paras + totals) which each re-pay the repartition, and the
+    # per-paragraph md5 count is only ~n_tokens/PARA_W per doc — too light
+    # to win back two exchanges.
+    d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.split(text.norm_text("text"), " ").alias("toks")
-    ))
+    )
     paras = d.select(
         "doc_id",
         F.posexplode(
@@ -1988,7 +1997,10 @@ def _q_semdedup_prune(spark, sf_dir):
     within-cell join stays O(n * cell): the r5 sf curve measured fixed K=16
     at 17.6x time for 10x data. n comes from a count over the documents
     parquet (metadata-cheap), not the BoW relation."""
-    emb = _doc_embeddings(spark, sf_dir)
+    # one materialization (r6): the embedding subtree (token explode + md5 +
+    # 64-way aggregate) feeds BOTH the k-means sample collect and the cell
+    # assignment scan inside ann.semdedup — without this it executes twice
+    emb = _doc_embeddings(spark, sf_dir).localCheckpoint()
     n = _t(spark, sf_dir, "documents").count()
     return ann.semdedup(
         emb, "doc_id", "emb", tau=SEMDEDUP_TAU,

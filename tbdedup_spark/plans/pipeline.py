@@ -47,6 +47,10 @@ class DedupConfig:
     # silently resume the old corpus's committed stages (review catch). Set
     # dataset_id to name the input (a snapshot id, a path, a content stamp);
     # it participates in the run id, so a changed corpus gets fresh stages.
+    # MIGRATION NOTE (ADVICE r5): adding this field changed asdict(config)
+    # and therefore config_run_id for EVERY pre-existing config, including
+    # the default "" — warehouses committed before the field existed will
+    # not resume (their run dirs are orphaned, recompute is safe but full).
     dataset_id: str = ""
     shingle_k: int = 5
     n_perm: int = 16
