@@ -736,8 +736,11 @@ def _q_dsir_weights(spark, sf_dir):
     gate to a learned continuous score."""
     d = _t(spark, sf_dir, "documents")
     ws = F.split(text.norm_text("text"), " ")
-    # fan-out: one md5 per bigram instance downstream (plans/partitioning.py)
-    base = _fan(d.select("doc_id", "lang", ws.alias("_ws")).filter(F.size("_ws") >= 2))
+    # NO fan-out (r6, A/B-measured): the gram relation is localCheckpointed
+    # right below, and the repartition + 32-task checkpoint write cost more
+    # warm (~1.55s) than the single-split explode+md5 they parallelize
+    # (~1.37s) — the explode is one cheap md5 per bigram, not per char.
+    base = d.select("doc_id", "lang", ws.alias("_ws")).filter(F.size("_ws") >= 2)
     grams = base.select(
         "doc_id",
         "lang",

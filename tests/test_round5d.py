@@ -374,10 +374,18 @@ def test_crawl_dedup_collapses_mirrors(spark, tmp_path):
 
 def test_crawl_dedup_single_shuffle_plan(spark):
     """The composition's scale contract: everything upstream of the dedup
-    groupBy fuses into one codegen stage — exactly ONE Exchange, zero
-    Python nodes (BENCH/PLANS.md crawl_dedup_pipeline)."""
+    groupBy fuses into codegen map stages — exactly ONE hash-partitioned
+    Exchange (the dedup groupBy), zero Python nodes. Since r6 an OPTIONAL
+    round-robin repartition may precede it: the small-scan fan-out
+    (plans/partitioning.py) engages only when the scan under-splits (the
+    test corpus is one parquet split), and is a structural no-op at real
+    corpus scale — so it is allowed but never required, and no OTHER
+    hash exchange may appear (BENCH/PLANS.md crawl_dedup_pipeline)."""
     from __spark_entry__ import _q_crawl_dedup_pipeline
 
     plan = _q_crawl_dedup_pipeline(spark, SF)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 1
+    n_exchanges = plan.count("Exchange")
+    n_roundrobin = plan.count("RoundRobinPartitioning")
+    assert n_exchanges - n_roundrobin == 1, plan
+    assert n_roundrobin <= 1, plan
     assert "Python" not in plan and "BatchEval" not in plan
