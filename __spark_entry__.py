@@ -4095,7 +4095,45 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING = driver-correctness-window rotation (VERDICT r5 task 1), not
+    # taxonomy: the driver checks the FIRST 50 entries per round, so entries
+    # are ordered by how stale their last driver-produced green row is —
+    # positions 1-10 are the ten round-5 queries that have never had one,
+    # 11-26 the sixteen whose last green row is round-4, 27-50 round-5 greens
+    # kept in-window for flagship coverage, 51-76 the freshest round-5 greens
+    # parked until the next rotation. Every query keeps its exact oracle and
+    # semantics; only the dict order moved (bench.py selects by NAME).
     return {
+        # --- 1-10: never driver-checked (round-5 additions past the window)
+        "kmv_distinct_sketch": _q_kmv_distinct_sketch,
+        "repetition_scores": _q_repetition_scores,
+        "tiered_incremental_dedup": _q_tiered_incremental_dedup,
+        "bloom_prefilter": _q_bloom_prefilter,
+        "cdc_chunk_dedup": _q_cdc_chunk_dedup,
+        "dsir_importance_weights": _q_dsir_weights,
+        "pii_scrub": _q_pii_scrub,
+        "snapshot_diff_dedup": _q_snapshot_diff_dedup,
+        "semdedup_prune": _q_semdedup_prune,
+        "topk_per_group_salted": _q_topk_per_group_salted,
+        # --- 11-26: last driver-green in round 4 (the relational set)
+        "scan_filter_project": _q_scan_filter,
+        "group_agg": _q_group_agg,
+        "topk_per_group": _q_topk_per_group,
+        "count_distinct_agg": _q_count_distinct,
+        "broadcast_join_agg": _q_join_agg,
+        "derived_key_group": _q_derived_key_group,
+        "regex_filter": _q_regex_filter,
+        "set_ops": _q_set_ops,
+        "sessionize": _q_sessionize,
+        "asof_join": _q_asof_join,
+        "asof_join_tolerance": _q_asof_join_tolerance,
+        "rolling_agg": _q_rolling_agg,
+        "cube_agg": _q_cube_agg,
+        "anti_join": _q_anti_join,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "rollup_agg": _q_rollup_agg,
+        # --- 27-50: round-5 greens kept in-window (flagship + non-SQL-stage
+        # coverage: detectors, clusters, ANN, image, streaming)
         "exact_dedup_representatives": _q_exact_dedup,
         "dual_hash_sanity": _q_dual_hash_sanity,
         "minhash_lsh_pairs": _q_minhash,
@@ -4120,6 +4158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_tiered_crop_dedup": _q_image_tiered_crop_dedup,
         "streaming_first_seen_dedup": _q_streaming_first_seen,
         "streaming_windowed_counts": _q_streaming_windowed_counts,
+        # --- 51-76: freshest round-5 greens, parked this rotation
         "audio_near_dups": _q_audio_near_dups,
         "frame_near_dups": _q_frame_near_dups,
         "dihedral_image_neardup": _q_dihedral_neardup,
@@ -4146,32 +4185,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "token_budget_mix": _q_token_budget_mix,
         "countmin_heavy_hitters": _q_countmin_heavy_hitters,
-        "kmv_distinct_sketch": _q_kmv_distinct_sketch,
-        "repetition_scores": _q_repetition_scores,
-        "tiered_incremental_dedup": _q_tiered_incremental_dedup,
-        "bloom_prefilter": _q_bloom_prefilter,
-        "cdc_chunk_dedup": _q_cdc_chunk_dedup,
-        "dsir_importance_weights": _q_dsir_weights,
-        "pii_scrub": _q_pii_scrub,
-        "snapshot_diff_dedup": _q_snapshot_diff_dedup,
-        "semdedup_prune": _q_semdedup_prune,
-        "scan_filter_project": _q_scan_filter,
-        "group_agg": _q_group_agg,
-        "topk_per_group": _q_topk_per_group,
-        "topk_per_group_salted": _q_topk_per_group_salted,
-        "count_distinct_agg": _q_count_distinct,
-        "broadcast_join_agg": _q_join_agg,
-        "derived_key_group": _q_derived_key_group,
-        "regex_filter": _q_regex_filter,
-        "set_ops": _q_set_ops,
-        "sessionize": _q_sessionize,
-        "asof_join": _q_asof_join,
-        "asof_join_tolerance": _q_asof_join_tolerance,
-        "rolling_agg": _q_rolling_agg,
-        "cube_agg": _q_cube_agg,
-        "anti_join": _q_anti_join,
-        "bpe_token_counts": _q_bpe_token_counts,
-        "rollup_agg": _q_rollup_agg,
     }
 
 
