@@ -100,7 +100,23 @@ def connected_components(
         .dropDuplicates(["src", "dst"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    # ACTIVE-SUBGRAPH restriction (r6): only a node with >= 1 edge can ever
+    # leave its identity label (every update rule joins through `sym`), so
+    # the iterated relation is the edge-endpoint subset of `nodes` —
+    # O(min(|V|, 2|E|)) rows per round instead of O(|V|). Isolated nodes
+    # rejoin as their own cluster in the final projection below; at web
+    # scale, where duplicates are sparse, this is the difference between
+    # iterating over the corpus and iterating over the duplicate graph.
+    # Identical output by construction (a left-join + coalesce(identity)).
+    labels = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(
+            sym.select(F.col("src").alias("id")).dropDuplicates(["id"]),
+            "id",
+            "left_semi",
+        )
+        .select("id", F.col("id").alias("label"))
+    )
     start = 0
     if catalog is not None:
         # resume: the latest durable label commit wins (monotone labels make
@@ -194,7 +210,17 @@ def connected_components(
         if moved == 0:
             break
     sym.unpersist()
-    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    # re-attach isolated nodes (self-labelled) — see the active-subgraph
+    # note above. The label side is endpoint-bounded, so AQE broadcasts it
+    # when small; the corpus side is one map-side pass.
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels.withColumnRenamed("label", "_lbl"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("_lbl", F.col("id")).alias("cluster_id"),
+        )
+    )
 
 
 def with_representatives(components: DataFrame, id_col: str = "image_id") -> DataFrame:
